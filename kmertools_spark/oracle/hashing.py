@@ -1,0 +1,91 @@
+"""Deterministic string-hashing kernels for dedup / fingerprinting.
+
+Polynomial rolling hashes over fixed-length character shingles, with
+MinHash signatures, SimHash, and min-window document fingerprints. The
+constants here are the single source of truth: the DuckDB oracle SQL in
+``__spark_entry__.py`` embeds the exact same values, so Spark and the
+SQL oracle produce bit-identical integers.
+
+All arithmetic is exact int64 (products bounded < 2^63).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MOD = 1_000_000_007
+BASE = 131
+
+# Deterministic MinHash permutation parameters (seed fixed forever; the
+# literal values are mirrored into oracle SQL).
+_rng = np.random.RandomState(20240616)
+N_PERMS = 16
+PERM_A = (_rng.randint(1, MOD - 1, size=N_PERMS)).astype(np.int64)
+PERM_B = (_rng.randint(0, MOD - 1, size=N_PERMS)).astype(np.int64)
+
+SIMHASH_BITS = 16
+
+
+def pow_vector(length: int) -> np.ndarray:
+    """[BASE^(length-1) % MOD, ..., BASE^1, BASE^0] as int64."""
+    out = np.empty(length, dtype=np.int64)
+    v = 1
+    for j in range(length - 1, -1, -1):
+        out[j] = v
+        v = (v * BASE) % MOD
+    return out
+
+
+def shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Polynomial hash of every ``width``-char window of ``text``.
+
+    h(window) = sum_j byte_j * BASE^(width-1-j) mod MOD. Returns an
+    int64 array of length max(0, len(text)-width+1).
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.size
+    if n < width:
+        return np.empty(0, dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, width).astype(np.int64)
+    return (windows @ pow_vector(width)) % MOD
+
+
+def minhash_signature(text: str, width: int = 8) -> np.ndarray | None:
+    """MinHash signature (N_PERMS int64 values) or None if no shingle."""
+    h = shingle_hashes(text, width)
+    if h.size == 0:
+        return None
+    # (a*h + b) % MOD per permutation; a*h < 1e9 * 1e9 < 2^63 exact
+    sig = (PERM_A[:, None] * h[None, :] + PERM_B[:, None]) % MOD
+    return sig.min(axis=1)
+
+
+def simhash(text: str, width: int = 8, bits: int = SIMHASH_BITS) -> int | None:
+    """SimHash over shingle hashes: bit b set iff sum of (+1/-1) > 0."""
+    h = shingle_hashes(text, width)
+    if h.size == 0:
+        return None
+    val = 0
+    for b in range(bits):
+        w = int((((h >> b) & 1) * 2 - 1).sum())
+        if w > 0:
+            val |= 1 << b
+    return val
+
+
+def fingerprint(text: str, width: int = 16) -> int | None:
+    """Document fingerprint: min polynomial hash over width-char windows."""
+    h = shingle_hashes(text, width)
+    if h.size == 0:
+        return None
+    return int(h.min())
+
+
+def sql_literals() -> dict[str, str]:
+    """Constants formatted for embedding into oracle SQL."""
+    return {
+        "mod": str(MOD),
+        "base": str(BASE),
+        "perm_a": ", ".join(str(int(x)) for x in PERM_A),
+        "perm_b": ", ".join(str(int(x)) for x in PERM_B),
+    }

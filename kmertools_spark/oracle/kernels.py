@@ -1,0 +1,351 @@
+"""Vectorized numpy kernels over batches of texts.
+
+These are the compute kernels shared by the numpy oracle (ground truth
+for pytest) and the Spark pandas/Arrow UDFs (kmertools_spark.functions).
+All kernels are batch-vectorized: one numpy pass over the concatenated
+bytes of the whole Arrow batch — no per-row Python in the hot path.
+
+Semantics re-derived from the reference (see per-function citations):
+  - rolling k-mer tokenizer with OOV run-splitting: kmer/src/kmer.rs:77-107
+  - composition vectors + L1 norm:                  composition/src/oligo.rs:231-259
+  - python-binding raw-mode norm quirk (total+=2):  pybindings/src/oligo.rs:59-63
+  - coverage histograms:                            coverage/src/lib.rs:165-184
+  - minimizer runs (windowed sliding-min RLE):      kmer/src/minimiser.rs:58-176
+  - CGR trajectory (affine prefix scan):            composition/src/cgr.rs:127-144
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from .codec import SEQ_NT4, kmer_pos_maps, rev_comp
+
+__all__ = [
+    "concat_codes",
+    "kmer_windows",
+    "composition_matrix",
+    "coverage_matrix",
+    "SortedCountLookup",
+    "minimiser_runs",
+    "minimiser_runs_batch",
+    "cgr_trajectory",
+    "MINIMISER_SENTINEL",
+]
+
+_U2 = np.uint64(2)
+_U3 = np.uint64(3)
+
+# The reference emits u64::MAX for a never-filled window at end of
+# sequence (kmer/src/minimiser.rs:159 never ran + :168-171 tail flush).
+# u64::MAX does not fit int64; we map it to -1 (documented deviation).
+MINIMISER_SENTINEL = -1
+
+
+def concat_codes(
+    texts: Sequence[str | None],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode a batch of texts into one code array.
+
+    Returns ``(codes, starts, lens)``: texts are joined with a 0xFF
+    separator byte (OOV, code 4) so that no k-mer window can span two
+    rows; ``starts[i]``/``lens[i]`` locate row *i* inside ``codes``.
+    None is treated as the empty string.
+    """
+    bs = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    joined = b"\xff".join(bs)
+    codes = SEQ_NT4[np.frombuffer(joined, dtype=np.uint8)] if joined else np.empty(0, np.uint8)
+    starts = np.zeros(len(bs), dtype=np.int64)
+    if len(bs) > 1:
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    return codes, starts, lens
+
+
+def kmer_windows(
+    codes: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All valid k-mer windows of a code array.
+
+    Returns ``(pos, fwd, rc)`` where ``pos`` is the window start offset,
+    ``fwd``/``rc`` the 2-bit packed forward / reverse-complement values
+    (uint64). A window is valid iff all k codes are < 4, which is exactly
+    the reference's run-length-reset rule (kmer/src/kmer.rs:91-105): an
+    OOV character drops every k-mer covering it.
+    """
+    n = codes.size
+    if n < k:
+        e = np.empty(0, np.int64)
+        return e, e.astype(np.uint64), e.astype(np.uint64)
+    c = codes.astype(np.uint64)
+    m = n - k + 1
+    f = np.zeros(m, dtype=np.uint64)
+    r = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        f = (f << _U2) | c[j : j + m]
+    for j in range(k - 1, -1, -1):
+        r = (r << _U2) | (c[j : j + m] ^ _U3)
+    bad = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(codes >= 4, out=bad[1:])
+    valid = (bad[k:] - bad[:-k]) == 0
+    pos = np.flatnonzero(valid).astype(np.int64)
+    return pos, f[pos], r[pos]
+
+
+def composition_matrix(
+    texts: Sequence[str | None],
+    k: int,
+    canonical: bool = True,
+    norm: bool = True,
+    pos_map: np.ndarray | None = None,
+    kcount: int | None = None,
+    binding_quirk: bool = False,
+) -> np.ndarray:
+    """Per-row dense composition vectors, shape (len(texts), kcount).
+
+    canonical=True counts min(fwd, rc) into the perfect-hash slot
+    (composition/src/oligo.rs:242-248); canonical=False counts the
+    forward k-mer over the full 4**k domain (:249-252). norm divides by
+    max(1, total) (:255-257). ``binding_quirk`` replicates the Python
+    binding's raw-mode normalization where total increments by 2 per
+    k-mer (pybindings/src/oligo.rs:59-63) — only meaningful when
+    canonical=False and norm=True.
+    """
+    if canonical and pos_map is None:
+        pos_map, _, kcount = kmer_pos_maps(k)
+    if not canonical:
+        kcount = 4**k
+    assert kcount is not None
+    nrows = len(texts)
+    codes, starts, _lens = concat_codes(texts)
+    pos, f, r = kmer_windows(codes, k)
+    rows = np.searchsorted(starts, pos, side="right") - 1
+    if canonical:
+        idx = pos_map[np.minimum(f, r).astype(np.int64)]
+    else:
+        idx = f.astype(np.int64)
+    flat = np.bincount(rows * kcount + idx, minlength=nrows * kcount)
+    mat = flat.reshape(nrows, kcount).astype(np.float64)
+    if norm:
+        totals = mat.sum(axis=1)
+        if binding_quirk and not canonical:
+            totals = totals * 2.0
+        mat /= np.maximum(1.0, totals)[:, None]
+    return mat
+
+
+class SortedCountLookup:
+    """Vectorized (k-mer -> count) lookup with 0 default.
+
+    Equivalent of the reference's global count HashMap probe with
+    ``unwrap_or(&0)`` (coverage/src/lib.rs:171). Keys are kept sorted;
+    probes use searchsorted — O(log n) vectorized, no Python dict.
+    """
+
+    def __init__(self, kmers: np.ndarray, counts: np.ndarray):
+        order = np.argsort(kmers, kind="stable")
+        self.keys = np.asarray(kmers, dtype=np.int64)[order]
+        self.vals = np.asarray(counts, dtype=np.int64)[order]
+
+    def get(self, probes: np.ndarray) -> np.ndarray:
+        probes = np.asarray(probes, dtype=np.int64)
+        idx = np.searchsorted(self.keys, probes)
+        idx = np.minimum(idx, self.keys.size - 1) if self.keys.size else idx
+        if self.keys.size == 0:
+            return np.zeros(probes.size, dtype=np.int64)
+        hit = self.keys[idx] == probes
+        return np.where(hit, self.vals[idx], 0)
+
+
+def coverage_matrix(
+    texts: Sequence[str | None],
+    k: int,
+    lookup: SortedCountLookup,
+    bin_size: int,
+    bin_count: int,
+    norm: bool = True,
+) -> np.ndarray:
+    """Per-row histograms of global k-mer abundances.
+
+    bin = min(floor(count / bin_size), bin_count - 1) per canonical
+    k-mer occurrence; optional L1 norm (coverage/src/lib.rs:165-184).
+    """
+    nrows = len(texts)
+    codes, starts, _lens = concat_codes(texts)
+    pos, f, r = kmer_windows(codes, k)
+    rows = np.searchsorted(starts, pos, side="right") - 1
+    canon = np.minimum(f, r).astype(np.int64)
+    cnt = lookup.get(canon)
+    bins = np.minimum(cnt // bin_size, bin_count - 1)
+    flat = np.bincount(rows * bin_count + bins, minlength=nrows * bin_count)
+    mat = flat.reshape(nrows, bin_count).astype(np.float64)
+    if norm:
+        totals = mat.sum(axis=1)
+        mat /= np.maximum(1.0, totals)[:, None]
+    return mat
+
+
+def _segment_runs(
+    seg_f: np.ndarray,
+    seg_r: np.ndarray,
+    s0: int,
+    s1: int,
+    w: int,
+    m: int,
+    n: int,
+) -> list[tuple[int, int, int]]:
+    """Minimizer runs for one OOV-free segment [s0, s1) of a text.
+
+    Vectorized re-derivation of the reference deque state machine
+    (kmer/src/minimiser.rs:58-176): the emitted records are exactly the
+    value-based run-length encoding of the sliding-window minimum over
+    canonical m-mer values, with these span rules:
+      * run r starts at the segment start (first run) or at the first
+        char of the first window carrying the new min (:135, :147);
+      * run r ends (exclusive) at the char where the next change is
+        detected (:130-133), at the OOV char on flush (:84-99), or at
+        the text length on tail flush (:168-171);
+      * a change detected exactly at the last char of the text loses the
+        final run (the iterator returns before the tail flush — faithful
+        quirk);
+      * a segment whose window never fills (L < w) emits nothing on OOV
+        flush, but at end-of-text emits a single sentinel record
+        (u64::MAX in the reference; -1 here) when at least one m-mer
+        exists (:159 never ran + :168-171).
+    """
+    L = s1 - s0
+    out: list[tuple[int, int, int]] = []
+    if L < m:
+        return out
+    mvals = np.minimum(seg_f, seg_r).astype(np.int64)
+    K = mvals.size  # == L - m + 1
+    W = w - m + 1
+    ends_at_text_end = s1 == n
+    if K < W:
+        if ends_at_text_end:
+            out.append((MINIMISER_SENTINEL, s0, n))
+        return out
+    # sliding minimum over windows of W m-mer values
+    if W == 1:
+        sw = mvals
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(mvals, W).min(axis=1)
+    # value-based RLE over window minima
+    change = np.flatnonzero(np.diff(sw)) + 1  # local window index of each new run
+    run_starts = np.concatenate(([0], change))  # first window of each run
+    R = run_starts.size
+    for j in range(R):
+        a = int(run_starts[j])
+        start = s0 if j == 0 else s0 + a
+        if j < R - 1:
+            nxt = int(run_starts[j + 1])
+            end = s0 + nxt + w - 1  # char where change was detected
+            out.append((int(sw[a]), start, end))
+        else:
+            last_window_end = a + w - 1  # local char index of run's 1st window end
+            if ends_at_text_end:
+                if R >= 2 and last_window_end == L - 1:
+                    # change fired at the very last char: final run lost
+                    continue
+                out.append((int(sw[a]), start, n))
+            else:
+                out.append((int(sw[a]), start, s1))
+    return out
+
+
+def minimiser_runs(text: str | bytes, w: int, m: int) -> list[tuple[int, int, int]]:
+    """All minimizer runs of one text: (canonical m-mer, start, end).
+
+    ``w == 0`` means whole-record window (misc/src/minimisers.rs:44-48):
+    the window size becomes len(text).
+    """
+    data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+    n = len(data)
+    if n == 0:
+        return []
+    w_eff = n if w == 0 else w
+    if w_eff < m:
+        return []
+    codes = SEQ_NT4[np.frombuffer(data, dtype=np.uint8)]
+    bad = codes >= 4
+    out: list[tuple[int, int, int]] = []
+    # segment boundaries: maximal runs of valid codes
+    boundary = np.flatnonzero(bad)
+    seg_edges = np.concatenate(([-1], boundary, [n]))
+    # all m-mer windows once for the whole text
+    pos, f, r = kmer_windows(codes, m)
+    for i in range(seg_edges.size - 1):
+        s0 = int(seg_edges[i]) + 1
+        s1 = int(seg_edges[i + 1])
+        if s1 - s0 < m:
+            # reference tail-flush needs >= m valid chars at text end
+            continue
+        lo, hi = np.searchsorted(pos, [s0, s1 - m + 1])
+        out.extend(_segment_runs(f[lo:hi], r[lo:hi], s0, s1, w_eff, m, n))
+    return out
+
+
+def minimiser_runs_batch(
+    texts: Iterable[str | None], w: int, m: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch minimizer runs: (row_idx, mmer, start, end) int64 arrays."""
+    rows: list[int] = []
+    vals: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for i, t in enumerate(texts):
+        for v, s, e in minimiser_runs(t or "", w, m):
+            rows.append(i)
+            vals.append(v)
+            starts.append(s)
+            ends.append(e)
+    return (
+        np.asarray(rows, dtype=np.int64),
+        np.asarray(vals, dtype=np.int64),
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(ends, dtype=np.int64),
+    )
+
+
+# CGR corners: A(0,0) T(v,0) G(v,v) C(0,v), U==T, case-insensitive
+# (composition/src/cgr.rs:12-36). Index by the 2-bit code: A=0 C=1 G=2 T=3.
+_CGR_X = np.array([0.0, 0.0, 1.0, 1.0])  # scaled by vecsize
+_CGR_Y = np.array([0.0, 1.0, 1.0, 0.0])
+
+_CGR_CHUNK = 48  # dyadic scaling stays exactly representable per chunk
+
+
+def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
+    """Chaos-game-representation walk: one (x, y) point per character.
+
+    marker_i = (corner_i + marker_{i-1}) / 2 from center (v/2, v/2)
+    (composition/src/cgr.rs:127-144). Returns shape (len, 2) float64, or
+    None if the text contains an OOV character (the reference errors;
+    Spark maps this to a null row instead).
+
+    Evaluated chunk-wise with the closed form
+      marker_{t} = marker_0 / 2^t + sum_j corner_j / 2^{t-j+1}
+    which is exact (dyadic) within each 48-step chunk.
+    """
+    data = text.encode("utf-8")
+    codes = SEQ_NT4[np.frombuffer(data, dtype=np.uint8)] if data else np.empty(0, np.uint8)
+    if (codes >= 4).any():
+        return None
+    n = codes.size
+    out = np.empty((n, 2), dtype=np.float64)
+    cx = _CGR_X[codes] * vecsize
+    cy = _CGR_Y[codes] * vecsize
+    mx, my = vecsize / 2.0, vecsize / 2.0
+    for off in range(0, n, _CGR_CHUNK):
+        c = min(_CGR_CHUNK, n - off)
+        t = np.arange(1, c + 1)
+        scale = np.exp2(-t)  # 2^-1 .. 2^-c, exact
+        # contribution of each corner j (1-based) to marker t>=j: corner/2^{t-j+1}
+        # implemented as (cumsum of corner_j * 2^{j-1}) * 2^-t
+        wx = np.cumsum(cx[off : off + c] * np.exp2(t - 1.0))
+        wy = np.cumsum(cy[off : off + c] * np.exp2(t - 1.0))
+        out[off : off + c, 0] = mx * scale + wx * scale
+        out[off : off + c, 1] = my * scale + wy * scale
+        mx, my = out[off + c - 1]
+    return out
