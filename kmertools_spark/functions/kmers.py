@@ -1,0 +1,82 @@
+"""k-mer explosion and map-side-combined count pairs (mapInPandas).
+
+The UDTF analog of the reference's KmerGenerator iterator
+(kmer/src/kmer.rs:77-107 / pybindings/src/kmer.rs:15-42), Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..oracle.kernels import concat_codes, kmer_windows
+
+
+def _key_fields(df: DataFrame, keys: tuple[str, ...]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in keys]
+
+
+def exploded_kmers(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Rows (keys..., pos, fwd, rc) for every valid k-mer window.
+
+    Map-side only (no shuffle); OOV characters split runs exactly like
+    the reference tokenizer (F1 gate, kmer/src/kmer.rs:91-99).
+    """
+    schema = StructType(
+        _key_fields(df, keys)
+        + [
+            StructField("pos", LongType()),
+            StructField("fwd", LongType()),
+            StructField("rc", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            codes, starts, _lens = concat_codes(pdf[text_col].tolist())
+            pos, f, r = kmer_windows(codes, k)
+            rows = np.searchsorted(starts, pos, side="right") - 1
+            out = {kk: pdf[kk].values[rows] for kk in keys}
+            out["pos"] = pos - starts[rows]
+            out["fwd"] = f.astype(np.int64)
+            out["rc"] = r.astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema)
+
+
+def kmer_count_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    canonical: bool = True,
+) -> DataFrame:
+    """(kmer, cnt) partial counts, pre-aggregated per Arrow batch.
+
+    This is the map phase of the reference's partition-parallel counting
+    loop (counter/src/lib.rs:100-143): each batch collapses to its
+    distinct k-mers before anything is shuffled, so the exchange carries
+    at most |batch-distinct| rows instead of one row per k-mer
+    occurrence. Finish with groupBy("kmer").sum("cnt").
+    """
+    schema = StructType(
+        [StructField("kmer", LongType()), StructField("cnt", LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            codes, _starts, _lens = concat_codes(pdf[text_col].tolist())
+            _pos, f, r = kmer_windows(codes, k)
+            vals = np.minimum(f, r).astype(np.int64) if canonical else f.astype(np.int64)
+            kmers, counts = np.unique(vals, return_counts=True)
+            yield pd.DataFrame({"kmer": kmers, "cnt": counts.astype(np.int64)})
+
+    return df.mapInPandas(gen, schema)

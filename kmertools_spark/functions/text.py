@@ -1,0 +1,81 @@
+"""Text-analysis column builders — pure built-in expressions.
+
+Everything here compiles to JVM-side Catalyst expressions inside
+whole-stage codegen: no UDFs, no Python in the executor hot path. Each
+builder has a 1:1 ANSI-SQL twin used by the DuckDB oracle (the
+occurrence-count trick `(len(s) - len(replace(s, t, ''))) / len(t)`
+is engine-portable and exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic (padded with spaces so they match whole words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "fr": (" le ", " la ", " et "),
+    "de": (" der ", " und ", " die "),
+    "es": (" el ", " los ", " y "),
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences of a literal substring."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count: spaces + 1 (0 for empty strings)."""
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(
+        occurrences(col, " ") + F.lit(1)
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Total marker-stopword occurrences for one language."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    out = F.lit(0).cast("long")
+    for m in LANG_MARKERS[lang]:
+        out = out + occurrences(padded, m)
+    return out
+
+
+def lang_guess(col: Column) -> Column:
+    """Heuristic language ID: the language with the most marker hits,
+    'und' when no marker matches. Ties break by language order."""
+    # first language (declaration order) with the maximal nonzero hit
+    # count wins: iterate reversed so earlier languages overwrite ties
+    best = F.lit("und")
+    best_n = F.lit(0).cast("long")
+    for lang in reversed(list(LANG_MARKERS)):
+        h = stopword_hits(col, lang)
+        best = F.when((h > 0) & (h >= best_n), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(best_n, h)
+    return best
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality in [0,1]: mean-word-length band + alpha ratio.
+
+    score = 0.5 * alpha_ratio + 0.5 * exp-free word-length band test
+    (1.0 when mean word length is in [3, 10], else 0.0), rounded to 6 dp
+    so Spark and the SQL oracle hash identically.
+    """
+    n_chars = F.length(col)
+    spaces = occurrences(col, " ")
+    n_words = token_count(col)
+    alpha = n_chars - spaces  # non-space chars
+    mean_wl = F.when(n_words > 0, alpha.cast("double") / n_words.cast("double"))
+    band = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(
+        n_chars > 0, alpha.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.round(0.5 * alpha_ratio + 0.5 * F.coalesce(band, F.lit(0.0)), 6)

@@ -1,0 +1,47 @@
+"""DataFrame -> DataFrame operators (SURVEY §2.4-§2.7 + engine additions)."""
+
+from .asof import asof_join, asof_join_broadcast
+from .binning import minimiser_index, record_minimisers
+from .counts import coverage_features, global_kmer_counts
+from .dedup import (
+    char_ngrams,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_buckets,
+)
+from .rolling import rolling_turn_vectors
+from .sessionize import lag_lead_features, sessionize
+from .similarity import (
+    ann_topk_lsh,
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplane_buckets,
+)
+from .skew import salted_collect_list, salted_sum, with_salt
+
+__all__ = [
+    "asof_join",
+    "asof_join_broadcast",
+    "minimiser_index",
+    "record_minimisers",
+    "coverage_features",
+    "global_kmer_counts",
+    "char_ngrams",
+    "exact_dedup",
+    "jaccard_pairs",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "simhash_buckets",
+    "rolling_turn_vectors",
+    "lag_lead_features",
+    "sessionize",
+    "ann_topk_lsh",
+    "cosine_neardup_pairs",
+    "cosine_topk",
+    "hyperplane_buckets",
+    "salted_collect_list",
+    "salted_sum",
+    "with_salt",
+]

@@ -1,0 +1,99 @@
+"""Point-in-time (as-of) join with strict zero-leakage semantics.
+
+Not present in the reference (SURVEY §2.4) — required by the engine's
+north rule. Implemented with the union-marker pattern: probes and
+feature rows are unioned, sorted (ts, is_event) within each entity, and
+each probe picks up the last non-null feature strictly before it.
+
+Leakage guarantee (structural): a probe at ``probe_ts`` sees only rows
+with ``ts < probe_ts`` — at equal timestamps the probe sorts BEFORE the
+feature row, so same-instant features are excluded (strict <).
+
+Scale notes: a single shuffle on the entity key co-partitions probes
+and features; AQE handles mild skew. For tiny probe sets prefer
+``asof_join_broadcast`` (range join against broadcast probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EV = "__is_event"
+
+
+def asof_join(
+    features: DataFrame,
+    probes: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    probe_ts_col: str = "probe_ts",
+    value_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Attach the latest strictly-earlier feature row to each probe.
+
+    Returns one row per probe: (on, probe_ts, asof_<value_col>...),
+    null-valued when no feature row precedes the probe.
+    """
+    ev = features.select(
+        F.col(on),
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias(_EV),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    )
+    pr = probes.select(
+        F.col(on),
+        F.col(probe_ts_col).alias("__t"),
+        F.lit(0).alias(_EV),
+        *[F.lit(None).cast(features.schema[c].dataType).alias(f"asof_{c}") for c in value_cols],
+    )
+    u = ev.unionByName(pr)
+    # probes (0) sort before events (1) at equal ts -> strict '<'
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", _EV)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    picked = [
+        F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+        for c in value_cols
+    ]
+    return (
+        u.select(on, "__t", _EV, *picked)
+        .where(F.col(_EV) == 0)
+        .drop(_EV)
+        .withColumnRenamed("__t", probe_ts_col)
+    )
+
+
+def asof_join_broadcast(
+    features: DataFrame,
+    probes: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    probe_ts_col: str = "probe_ts",
+    value_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Alternative plan for small probe sets: broadcast range join +
+    per-probe top-1 (row_number). Same strict-< semantics."""
+    j = F.broadcast(probes.alias("p")).join(
+        features.alias("f"),
+        on=[
+            F.col(f"p.{on}") == F.col(f"f.{on}"),
+            F.col(f"f.{ts_col}") < F.col(f"p.{probe_ts_col}"),
+        ],
+        how="left",
+    )
+    w = Window.partitionBy(f"p.{on}", f"p.{probe_ts_col}").orderBy(
+        F.col(f"f.{ts_col}").desc(), F.col("f.turn_idx").desc()
+    )
+    out = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(f"p.{on}").alias(on),
+            F.col(f"p.{probe_ts_col}").alias(probe_ts_col),
+            *[F.col(f"f.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+    )
+    return out

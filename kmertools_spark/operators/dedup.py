@@ -1,0 +1,170 @@
+"""Deduplication suite over document tables.
+
+Exact (hash-groupBy), MinHash+LSH banding, SimHash, and character
+n-gram Jaccard — the large-scale training-data-pipeline operators. The
+n-gram machinery reuses the engine's shingle hashing (constants shared
+with the DuckDB oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_sig, simhash_value
+from ..oracle.hashing import N_PERMS
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: (keep_id = min id, n_dups).
+
+    The classic hash-groupBy exact dedup; at 100 TB group on a digest
+    (xxhash64/sha2 of text) instead of the raw text to shrink the
+    shuffle — provided here via the same plan shape.
+    """
+    return (
+        df.groupBy(F.xxhash64(text_col).alias("__h"), F.col(text_col))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures; short docs dropped."""
+    return (
+        df.select(F.col(id_col), minhash_sig(width)(F.col(text_col)).alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature split into ``bands`` bands of ``rows_per_band`` values;
+    docs sharing any full band collide. Shuffle = one exchange on the
+    band key; the band key is a string fold of the band's values (works
+    identically in the SQL oracle).
+    """
+    r = rows_per_band or N_PERMS // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "_", F.slice("sig", b * r + 1, r).cast("array<string>")
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 8
+) -> DataFrame:
+    """(id, simhash) — equal values are Hamming-0 near-dup candidates."""
+    return df.select(
+        F.col(id_col), simhash_value(width)(F.col(text_col)).alias("simhash")
+    ).where(F.col("simhash").isNotNull())
+
+
+def char_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """Distinct character n-grams per doc — pure JVM expressions
+    (sequence + transform + explode stay in whole-stage codegen)."""
+    return (
+        df.where(F.length(text_col) >= n)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}),"
+                    f" i -> substring({text_col}, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold.
+
+    Relational formulation: distinct grams, gram-key self-join for
+    intersections, set sizes joined back. At corpus scale, run AFTER
+    LSH candidate generation to bound the self-join; here it also
+    serves as the verification stage for LSH candidates.
+    """
+    grams = char_ngrams(df, id_col, text_col, n).cache()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.gram") == F.col("b.gram"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -81,6 +81,84 @@ def fingerprint(text: str, width: int = 16) -> int | None:
     return int(h.min())
 
 
+def batch_shingle_hashes(
+    texts: list[str | None], width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, hash) for every width-char window of every text.
+
+    One numpy pass over the concatenated bytes of the batch; windows
+    spanning two rows are masked out via the separator offset math.
+    """
+    bs = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    joined = b"\x00".join(bs)
+    if len(joined) < width:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy()
+    starts = np.zeros(len(bs), dtype=np.int64)
+    if len(bs) > 1:
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    data = np.frombuffer(joined, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(data, width).astype(np.int64)
+    h = (windows @ pow_vector(width)) % MOD
+    p = np.arange(h.size, dtype=np.int64)
+    rows = np.searchsorted(starts, p, side="right") - 1
+    ok = (p + width) <= (starts[rows] + lens[rows])
+    return rows[ok], h[ok]
+
+
+def _row_groups(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """rows is sorted; returns (unique_rows, group_start_indices)."""
+    return np.unique(rows, return_index=True)
+
+
+def minhash_batch(texts: list[str | None], width: int = 8) -> list[list[int] | None]:
+    """MinHash signatures for a batch; None for rows with no shingle."""
+    rows, h = batch_shingle_hashes(texts, width)
+    out: list[list[int] | None] = [None] * len(texts)
+    if h.size == 0:
+        return out
+    uniq, gstart = _row_groups(rows)
+    sigs = np.empty((N_PERMS, uniq.size), dtype=np.int64)
+    for i in range(N_PERMS):
+        vals = (PERM_A[i] * h + PERM_B[i]) % MOD
+        sigs[i] = np.minimum.reduceat(vals, gstart)
+    for j, r in enumerate(uniq):
+        out[int(r)] = [int(x) for x in sigs[:, j]]
+    return out
+
+
+def simhash_batch(
+    texts: list[str | None], width: int = 8, bits: int = SIMHASH_BITS
+) -> list[int | None]:
+    """SimHash values for a batch; None for rows with no shingle."""
+    rows, h = batch_shingle_hashes(texts, width)
+    out: list[int | None] = [None] * len(texts)
+    if h.size == 0:
+        return out
+    uniq, gstart = _row_groups(rows)
+    vals = np.zeros(uniq.size, dtype=np.int64)
+    for b in range(bits):
+        w = np.add.reduceat(((h >> b) & 1) * 2 - 1, gstart)
+        vals |= (w > 0).astype(np.int64) << b
+    for j, r in enumerate(uniq):
+        out[int(r)] = int(vals[j])
+    return out
+
+
+def fingerprint_batch(texts: list[str | None], width: int = 16) -> list[int | None]:
+    """Min-window rolling-hash fingerprints; None for short rows."""
+    rows, h = batch_shingle_hashes(texts, width)
+    out: list[int | None] = [None] * len(texts)
+    if h.size == 0:
+        return out
+    uniq, gstart = _row_groups(rows)
+    mins = np.minimum.reduceat(h, gstart)
+    for j, r in enumerate(uniq):
+        out[int(r)] = int(mins[j])
+    return out
+
+
 def sql_literals() -> dict[str, str]:
     """Constants formatted for embedding into oracle SQL."""
     return {

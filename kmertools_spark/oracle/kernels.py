@@ -286,6 +286,85 @@ def minimiser_runs(text: str | bytes, w: int, m: int) -> list[tuple[int, int, in
     return out
 
 
+def whole_record_minimisers(
+    texts: Sequence[str | None], m: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch w=0 (whole-record window) minimizers, fully vectorized.
+
+    Replicates misc/src/minimisers.rs:44-48 + the w=len state machine:
+      * a fully in-vocabulary text of length >= m emits exactly one
+        record (global min canonical m-mer, 0, len);
+      * a text containing any OOV char can never fill its window, so the
+        only emission is the end-of-text sentinel (-1, tail_start, len)
+        when the trailing OOV-free run has >= m chars;
+      * texts shorter than m emit nothing (the reference would panic on
+        wsize < msize; we define it as empty).
+
+    Returns (row_idx, mmer, start, end) int64 arrays.
+    """
+    nrows = len(texts)
+    codes, starts, lens = concat_codes(texts)
+    bad = codes >= 4
+    badc = np.zeros(codes.size + 1, dtype=np.int64)
+    np.cumsum(bad, out=badc[1:])
+    row_oov = badc[starts + lens] - badc[starts]
+
+    out_rows: list[np.ndarray] = []
+    out_vals: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    out_e: list[np.ndarray] = []
+
+    # clean rows: global min canonical m-mer
+    pos, f, r = kmer_windows(codes, m)
+    if pos.size:
+        rows = np.searchsorted(starts, pos, side="right") - 1
+        canon = np.minimum(f, r).astype(np.int64)
+        clean_mask = (row_oov[rows] == 0) & (lens[rows] >= m)
+        crows = rows[clean_mask]
+        cvals = canon[clean_mask]
+        if crows.size:
+            uniq, idx_start = np.unique(crows, return_index=True)
+            mins = np.minimum.reduceat(cvals, idx_start)
+            out_rows.append(uniq)
+            out_vals.append(mins)
+            out_s.append(np.zeros(uniq.size, dtype=np.int64))
+            out_e.append(lens[uniq])
+
+    # OOV rows: sentinel for a trailing valid run of >= m chars
+    oov_rows = np.flatnonzero((row_oov > 0) & (lens >= m))
+    if oov_rows.size:
+        last_bad_local = np.full(nrows, -1, dtype=np.int64)
+        bad_pos = np.flatnonzero(bad)
+        if bad_pos.size:
+            brow = np.searchsorted(starts, bad_pos, side="right") - 1
+            # keep only OOV inside real rows (separators sit between rows
+            # at offset == lens[brow], exclude them)
+            local = bad_pos - starts[brow]
+            inside = local < lens[brow]
+            np.maximum.at(last_bad_local, brow[inside], local[inside])
+        tail_start = last_bad_local[oov_rows] + 1
+        tail_len = lens[oov_rows] - tail_start
+        emit = tail_len >= m
+        er = oov_rows[emit]
+        if er.size:
+            out_rows.append(er)
+            out_vals.append(np.full(er.size, MINIMISER_SENTINEL, dtype=np.int64))
+            out_s.append(tail_start[emit])
+            out_e.append(lens[er])
+
+    if not out_rows:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy(), e.copy()
+    rr = np.concatenate(out_rows)
+    order = np.argsort(rr, kind="stable")
+    return (
+        rr[order],
+        np.concatenate(out_vals)[order],
+        np.concatenate(out_s)[order],
+        np.concatenate(out_e)[order],
+    )
+
+
 def minimiser_runs_batch(
     texts: Iterable[str | None], w: int, m: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

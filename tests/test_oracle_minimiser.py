@@ -120,7 +120,49 @@ def test_vectorized_matches_imperative_on_edges():
         )
 
 
+def test_whole_record_batch_matches_per_row():
+    from kmertools_spark.oracle.kernels import whole_record_minimisers
+
+    texts = [
+        READ_1,
+        READ_2,
+        "",
+        "AC",
+        "ACGTNNNN",  # trailing OOV
+        "NNNNACGTACGT",  # leading OOV, valid tail
+        "ACGTXACG",  # OOV mid, tail too short for m=5
+        "acgtacgtu",
+        None,
+    ]
+    m = 5
+    rr, vv, ss, ee = whole_record_minimisers(texts, m)
+    got = {}
+    for i in range(rr.size):
+        got.setdefault(int(rr[i]), []).append((int(vv[i]), int(ss[i]), int(ee[i])))
+    for i, t in enumerate(texts):
+        exp = minimiser_runs(t or "", 0, m) if t and len(t) >= m else []
+        assert got.get(i, []) == exp, (i, t)
+
+
 if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ACGTNacgt x", min_size=0, max_size=60), max_size=8
+        ),
+        m=st.integers(min_value=2, max_value=6),
+    )
+    def test_property_whole_record_batch(texts, m):
+        from kmertools_spark.oracle.kernels import whole_record_minimisers
+
+        rr, vv, ss, ee = whole_record_minimisers(texts, m)
+        got = {}
+        for i in range(rr.size):
+            got.setdefault(int(rr[i]), []).append((int(vv[i]), int(ss[i]), int(ee[i])))
+        for i, t in enumerate(texts):
+            exp = minimiser_runs(t, 0, m) if len(t) >= m else []
+            assert got.get(i, []) == exp
 
     @settings(max_examples=300, deadline=None)
     @given(

@@ -1,0 +1,129 @@
+"""Spark kernels vs the numpy oracle on synthetic transcripts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kmertools_spark.functions import (
+    composition_vector,
+    exploded_kmers,
+    exploded_minimisers,
+    kmer_count_pairs,
+)
+from kmertools_spark.operators import coverage_features, global_kmer_counts
+from kmertools_spark.oracle import (
+    SortedCountLookup,
+    composition_matrix,
+    coverage_matrix,
+    minimiser_runs,
+)
+from kmertools_spark.oracle.kernels import concat_codes, kmer_windows
+from kmertools_spark.sources import synth_transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    pdf = synth_transcripts_pdf(n_convs=30, mean_turns=8, skew_factor=10, seed=7)
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_composition_udf_matches_oracle(spark, tdf):
+    df, pdf = tdf
+    got = (
+        df.select("conv_id", "turn_idx", composition_vector(4)("text").alias("v"))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    exp_rows = pdf.sort_values(["conv_id", "turn_idx"])
+    exp = composition_matrix(exp_rows["text"].tolist(), 4)
+    got_mat = np.vstack(got["v"].to_numpy())
+    assert got_mat.shape == exp.shape
+    assert np.allclose(got_mat, exp, rtol=1e-9, atol=0)
+
+
+def test_global_counts_match_oracle(spark, tdf):
+    df, pdf = tdf
+    got = global_kmer_counts(df, k=4).toPandas().sort_values("kmer")
+    codes, _, _ = concat_codes(pdf["text"].tolist())
+    _, f, r = kmer_windows(codes, 4)
+    canon = np.minimum(f, r).astype(np.int64)
+    kk, cc = np.unique(canon, return_counts=True)
+    assert got["kmer"].to_numpy().tolist() == kk.tolist()
+    assert got["cnt"].to_numpy().tolist() == cc.tolist()
+
+
+def test_salted_counts_equal_plain(spark, tdf):
+    df, _ = tdf
+    plain = global_kmer_counts(df, k=3).toPandas().sort_values("kmer").reset_index(drop=True)
+    salted = (
+        global_kmer_counts(df, k=3, salt=8).toPandas().sort_values("kmer").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_coverage_features_match_oracle(spark, tdf):
+    df, pdf = tdf
+    counts = global_kmer_counts(df, k=4)
+    got = (
+        coverage_features(df, counts, k=4, bin_size=2, bin_count=4)
+        .select("conv_id", "turn_idx", "cov_vec")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    codes, _, _ = concat_codes(pdf["text"].tolist())
+    _, f, r = kmer_windows(codes, 4)
+    canon = np.minimum(f, r).astype(np.int64)
+    kk, cc = np.unique(canon, return_counts=True)
+    lk = SortedCountLookup(kk, cc)
+    exp_rows = pdf.sort_values(["conv_id", "turn_idx"])
+    exp = coverage_matrix(exp_rows["text"].tolist(), 4, lk, 2, 4)
+    assert np.allclose(np.vstack(got["cov_vec"].to_numpy()), exp, rtol=1e-9)
+
+
+def test_exploded_kmers_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": [0, 0],
+            "text": ["ACNGTT", "ACGT"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        exploded_kmers(df, k=2)
+        .toPandas()
+        .sort_values(["conv_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # ACNGTT k=2 -> (1,11)@0, (11,1)@3, (15,0)@4 (kmer/src/kmer.rs:130-145)
+    c1 = got[got.conv_id == "c1"]
+    assert list(zip(c1["pos"], c1["fwd"], c1["rc"])) == [(0, 1, 11), (3, 11, 1), (4, 15, 0)]
+
+
+def test_exploded_minimisers_matches_oracle(spark, tdf):
+    df, pdf = tdf
+    for w, m in [(0, 5), (8, 4)]:
+        got = (
+            exploded_minimisers(df, w=w, m=m)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx", "win_start"])
+        )
+        exp = []
+        for _, row in pdf.sort_values(["conv_id", "turn_idx"]).iterrows():
+            for v, s, e in minimiser_runs(row["text"], w, m):
+                exp.append((row["conv_id"], row["turn_idx"], v, s, e))
+        got_t = list(
+            zip(got.conv_id, got.turn_idx, got.mmer, got.win_start, got.win_end)
+        )
+        exp.sort()
+        got_t.sort()
+        assert got_t == exp, (w, m)
+
+
+def test_kmer_count_pairs_partial_agg(spark):
+    pdf = pd.DataFrame({"conv_id": ["a"] * 3, "turn_idx": [0, 1, 2], "text": ["ACGT"] * 3})
+    df = spark.createDataFrame(pdf)
+    got = kmer_count_pairs(df, k=4).groupBy("kmer").agg(F.sum("cnt").alias("cnt")).collect()
+    # ACGT k=4: fwd=0b00011011=27, rc=27 -> canonical 27, three occurrences
+    assert [(r["kmer"], r["cnt"]) for r in got] == [(27, 3)]

@@ -1,0 +1,188 @@
+"""Windowed operators: sessionize, lag/lead, as-of join (zero leakage),
+rolling vectors (turn-/time-/session-bounded, chunked == unchunked)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kmertools_spark.operators import (
+    asof_join,
+    asof_join_broadcast,
+    lag_lead_features,
+    rolling_turn_vectors,
+    sessionize,
+)
+from kmertools_spark.oracle import composition_matrix
+from kmertools_spark.sources import synth_transcripts_pdf
+
+GAP = 1800.0
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    pdf = synth_transcripts_pdf(n_convs=20, mean_turns=10, skew_factor=20, seed=11)
+    return spark.createDataFrame(pdf), pdf
+
+
+def oracle_sessions(pdf: pd.DataFrame, gap_s: float) -> dict:
+    out = {}
+    for conv, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        ts = g["ts"].astype("int64").to_numpy() // 10**6  # ms
+        seq = np.zeros(len(g), dtype=int)
+        for i in range(1, len(g)):
+            seq[i] = seq[i - 1] + (1 if ts[i] - ts[i - 1] > gap_s * 1000 else 0)
+        for t, s in zip(g["turn_idx"], seq):
+            out[(conv, int(t))] = int(s)
+    return out
+
+
+def test_sessionize_matches_oracle(spark, tdf):
+    df, pdf = tdf
+    got = sessionize(df, gap_seconds=GAP).select("conv_id", "turn_idx", "session_seq").toPandas()
+    exp = oracle_sessions(pdf, GAP)
+    assert len(got) == len(pdf)
+    for _, r in got.iterrows():
+        assert exp[(r.conv_id, int(r.turn_idx))] == r.session_seq
+    # fixture sanity: sessions actually split somewhere
+    assert got["session_seq"].max() >= 1
+
+
+def test_lag_lead(spark, tdf):
+    df, pdf = tdf
+    got = (
+        lag_lead_features(df)
+        .select("conv_id", "turn_idx", "prev_len", "next_len", "prev_role", "gap_ms")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    for conv, g in got.groupby("conv_id"):
+        src = pdf[pdf.conv_id == conv].sort_values("turn_idx")
+        lens = src["text"].str.len().tolist()
+        assert g["prev_len"].tolist()[1:] == [float(x) for x in lens[:-1]] or g[
+            "prev_len"
+        ].tolist()[1:] == lens[:-1]
+        assert pd.isna(g["prev_len"].iloc[0])
+        assert pd.isna(g["gap_ms"].iloc[0])
+        assert (g["gap_ms"].iloc[1:] >= 0).all()
+
+
+def _probe_frame(pdf):
+    """Probes hitting exact turn timestamps (tie fixture), mid-gaps,
+    before-any-history, and unknown conv ids."""
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        ts = g["ts"].tolist()
+        rows.append((conv, ts[0]))  # exact tie with first turn -> null
+        rows.append((conv, ts[-1] + pd.Timedelta(seconds=5)))  # after all
+        if len(ts) > 2:
+            rows.append((conv, ts[2]))  # exact tie mid-history
+        rows.append((conv, ts[0] - pd.Timedelta(seconds=60)))  # before any
+    rows.append(("conv_never_seen", pdf["ts"].iloc[0]))
+    return pd.DataFrame(rows, columns=["conv_id", "probe_ts"])
+
+
+def oracle_asof(pdf, probes):
+    exp = {}
+    for _, p in probes.iterrows():
+        hist = pdf[(pdf.conv_id == p.conv_id) & (pdf.ts < p.probe_ts)]
+        if len(hist) == 0:
+            exp[(p.conv_id, p.probe_ts)] = None
+        else:
+            exp[(p.conv_id, p.probe_ts)] = int(
+                hist.sort_values(["ts", "turn_idx"]).iloc[-1]["turn_idx"]
+            )
+    return exp
+
+
+@pytest.mark.parametrize("impl", ["window", "broadcast"])
+def test_asof_join_strict_leakage_semantics(spark, tdf, impl):
+    df, pdf = tdf
+    probes = _probe_frame(pdf)
+    pdf_probes = spark.createDataFrame(probes)
+    fn = asof_join if impl == "window" else asof_join_broadcast
+    got = fn(df, pdf_probes, value_cols=("turn_idx",)).toPandas()
+    exp = oracle_asof(pdf, probes)
+    assert len(got) == len(probes)
+    for _, r in got.iterrows():
+        e = exp[(r.conv_id, r.probe_ts)]
+        if e is None:
+            assert pd.isna(r.asof_turn_idx), (r.conv_id, r.probe_ts)
+        else:
+            assert int(r.asof_turn_idx) == e, (r.conv_id, r.probe_ts)
+
+
+def test_asof_zero_leakage_property(spark, tdf):
+    """Perturbing any row at ts >= probe_ts must not change results."""
+    df, pdf = tdf
+    probes = _probe_frame(pdf).iloc[:20]
+    pr = spark.createDataFrame(probes)
+    base = asof_join(df, pr).toPandas().sort_values(["conv_id", "probe_ts"]).reset_index(drop=True)
+    # mutate all future rows' text/turn_idx wildly
+    cut = probes["probe_ts"].min()
+    pdf2 = pdf.copy()
+    fut = pdf2["ts"] >= cut
+    pdf2.loc[fut, "turn_idx"] = pdf2.loc[fut, "turn_idx"] + 10_000
+    df2 = spark.createDataFrame(pdf2)
+    got2 = asof_join(df2, pr).toPandas().sort_values(["conv_id", "probe_ts"]).reset_index(drop=True)
+    # probes strictly before the cut see identical features
+    mask = base["probe_ts"] <= cut
+    pd.testing.assert_frame_equal(base[mask].reset_index(drop=True), got2[mask].reset_index(drop=True))
+
+
+def rolling_oracle(pdf, k, n):
+    exp = {}
+    for conv, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        texts = g["text"].tolist()
+        counts = composition_matrix(texts, k, norm=False)
+        pref = np.vstack([np.zeros((1, counts.shape[1])), np.cumsum(counts, 0)])
+        for i, t in enumerate(g["turn_idx"]):
+            lo = max(0, i - n + 1)
+            win = pref[i + 1] - pref[lo]
+            win = win / max(1.0, win.sum())
+            exp[(conv, int(t))] = win
+    return exp
+
+
+@pytest.mark.parametrize("chunk", [None, 4])
+def test_rolling_turn_vectors(spark, tdf, chunk):
+    df, pdf = tdf
+    got = rolling_turn_vectors(df, k=4, mode="turns", n_turns=3, chunk=chunk).toPandas()
+    exp = rolling_oracle(pdf, 4, 3)
+    assert len(got) == len(pdf)
+    for _, r in got.iterrows():
+        assert np.allclose(np.array(r.vec), exp[(r.conv_id, int(r.turn_idx))], rtol=1e-9)
+
+
+def test_rolling_time_vectors(spark, tdf):
+    df, pdf = tdf
+    horizon = 900.0
+    got = rolling_turn_vectors(df, k=4, mode="time", time_seconds=horizon).toPandas()
+    exp = {}
+    for conv, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        counts = composition_matrix(g["text"].tolist(), 4, norm=False)
+        ts = g["ts"].astype("int64").to_numpy() // 10**6
+        for i, t in enumerate(g["turn_idx"]):
+            sel = (ts >= ts[i] - horizon * 1000) & (ts <= ts[i])
+            win = counts[sel & (np.arange(len(g)) <= i)].sum(0)
+            win = win / max(1.0, win.sum())
+            exp[(conv, int(t))] = win
+    for _, r in got.iterrows():
+        assert np.allclose(np.array(r.vec), exp[(r.conv_id, int(r.turn_idx))], rtol=1e-9)
+
+
+def test_rolling_session_vectors(spark, tdf):
+    df, pdf = tdf
+    got = rolling_turn_vectors(df, k=4, mode="session", gap_seconds=GAP, chunk=None).toPandas()
+    sess = oracle_sessions(pdf, GAP)
+    exp = {}
+    for conv, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        counts = composition_matrix(g["text"].tolist(), 4, norm=False)
+        seqs = np.array([sess[(conv, int(t))] for t in g["turn_idx"]])
+        for i, t in enumerate(g["turn_idx"]):
+            win = counts[(seqs == seqs[i]) & (np.arange(len(g)) <= i)].sum(0)
+            win = win / max(1.0, win.sum())
+            exp[(conv, int(t))] = win
+    for _, r in got.iterrows():
+        assert np.allclose(np.array(r.vec), exp[(r.conv_id, int(r.turn_idx))], rtol=1e-9)
