@@ -1,38 +1,388 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline additions); each callable (spark, sf_dir) runs
+the real engine code from kmertools_spark. `oracle_sql()` — the DuckDB
+twins (kmertools_spark/oracle/sql_queries.py); Spark and SQL share the
+exact transcript derivation and hash constants, so value-hashes match
+bit-for-bit. Queries with no SQL twin (full minimizer-run state machine,
+vector-valued outputs, approximate ANN) are rows-only by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmertools_spark.sources import transcripts_df
+
+    return transcripts_df(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _slots(spark: SparkSession, k: int = 4) -> DataFrame:
+    from kmertools_spark.functions import slot_kmer_pairs
+
+    return spark.createDataFrame(slot_kmer_pairs(k), "slot int, kmer long")
+
+
+# --------------------------------------------------------------- queries
+
+
+def q01_transcripts_identity(spark, sf_dir):
+    """Per-turn text-equality invariant: the transcript derivation itself."""
+    return _t(spark, sf_dir)
+
+
+def q02_sessionize(spark, sf_dir):
+    from kmertools_spark.operators import sessionize
+
+    return sessionize(_t(spark, sf_dir)).select("conv_id", "turn_idx", "session_seq")
+
+
+def q03_session_stats(spark, sf_dir):
+    from kmertools_spark.operators import sessionize
+    from kmertools_spark.operators.timeutil import epoch_ms
+
+    s = sessionize(_t(spark, sf_dir))
+    return s.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).alias("n_chars"),
+        (F.max(epoch_ms("ts")) - F.min(epoch_ms("ts"))).alias("duration_ms"),
+    )
+
+
+def q04_lag_lead(spark, sf_dir):
+    from kmertools_spark.operators import lag_lead_features
+
+    return lag_lead_features(_t(spark, sf_dir)).select(
+        "conv_id",
+        "turn_idx",
+        F.col("prev_len").cast("long").alias("prev_len"),
+        F.col("next_len").cast("long").alias("next_len"),
+        "prev_role",
+        F.col("gap_ms").cast("long").alias("gap_ms"),
+    )
+
+
+def q05_kmer_counts(spark, sf_dir):
+    from kmertools_spark.operators import global_kmer_counts
+
+    return global_kmer_counts(_t(spark, sf_dir), k=4)
+
+
+def q06_kmer_topk(spark, sf_dir):
+    return (
+        q05_kmer_counts(spark, sf_dir)
+        .orderBy(F.desc("cnt"), F.asc("kmer"))
+        .limit(25)
+    )
+
+
+def q07_composition(spark, sf_dir):
+    """Canonical k=4 L1-normalized composition, exploded to non-zero
+    (kmer, freq) rows through the perfect-hash slot dimension."""
+    from kmertools_spark.functions import composition_vector
+
+    t = _t(spark, sf_dir)
+    vec = t.select(
+        "conv_id", "turn_idx", composition_vector(4)("text").alias("v")
+    )
+    ex = vec.select(
+        "conv_id", "turn_idx", F.posexplode("v").alias("slot", "freq")
+    ).where(F.col("freq") > 0)
+    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
+        "conv_id", "turn_idx", "kmer", "freq"
+    )
+
+
+def q08_composition_raw(spark, sf_dir):
+    """Raw (non-canonical) mode with the python-binding 2x-total
+    normalization quirk (pybindings/src/oligo.rs:59-63)."""
+    from kmertools_spark.functions import composition_vector
+
+    t = _t(spark, sf_dir)
+    udf = composition_vector(4, canonical=False, norm=True, binding_quirk=True)
+    return (
+        t.select("conv_id", "turn_idx", F.posexplode(udf("text")).alias("slot", "freq"))
+        .where(F.col("freq") > 0)
+        .select("conv_id", "turn_idx", F.col("slot").cast("long").alias("kmer"), "freq")
+    )
+
+
+def q09_minimizer_w0(spark, sf_dir):
+    from kmertools_spark.functions import exploded_minimisers
+
+    return exploded_minimisers(_t(spark, sf_dir), w=0, m=4)
+
+
+def q10_coverage(spark, sf_dir):
+    from kmertools_spark.operators import coverage_features, global_kmer_counts
+
+    t = _t(spark, sf_dir)
+    counts = global_kmer_counts(t, k=4)
+    cov = coverage_features(t, counts, k=4, bin_size=4, bin_count=8, norm=False)
+    return (
+        cov.select("conv_id", "turn_idx", F.posexplode("cov_vec").alias("bin", "nd"))
+        .where(F.col("nd") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("bin").cast("long").alias("bin"),
+            F.col("nd").cast("long").alias("n"),
+        )
+    )
+
+
+def q11_rolling_turns(spark, sf_dir):
+    """Rolling 3-turn k-mer count windows, exploded; runs the *chunked*
+    (carry-replicated) path to exercise the skew machinery."""
+    from kmertools_spark.operators import rolling_turn_vectors
+
+    t = _t(spark, sf_dir)
+    r = rolling_turn_vectors(t, k=4, mode="turns", n_turns=3, norm=False, chunk=16)
+    ex = r.select(
+        "conv_id", "turn_idx", F.posexplode("vec").alias("slot", "cd")
+    ).where(F.col("cd") > 0)
+    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
+        "conv_id", "turn_idx", "kmer", F.col("cd").cast("long").alias("cnt")
+    )
+
+
+def q12_rolling_time_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kmertools_spark.operators.timeutil import epoch_ms
+
+    t = _t(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(epoch_ms("ts"))
+        .rangeBetween(-600_000, 0)
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum(F.length("text")).over(w).cast("long").alias("w_chars"),
+    )
+
+
+def q13_asof(spark, sf_dir):
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.sources import probes_df
+
+    t = _t(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    p = probes_df(spark, sf_dir).distinct()
+    return asof_join(t, p, value_cols=("turn_idx", "text_len"))
+
+
+def q14_session_to_date(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kmertools_spark.operators import sessionize
+
+    s = sessionize(_t(spark, sf_dir))
+    w = (
+        Window.partitionBy("conv_id", "session_seq")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("std_turns"),
+        F.sum(F.length("text")).over(w).cast("long").alias("std_chars"),
+    )
+
+
+def q15_dedup_exact(spark, sf_dir):
+    from kmertools_spark.operators import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q16_minhash(spark, sf_dir):
+    from kmertools_spark.operators import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("perm", "sig")
+    )
+
+
+def q17_lsh_candidates(spark, sf_dir):
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+def q18_simhash(spark, sf_dir):
+    from kmertools_spark.operators import simhash_buckets
+
+    return simhash_buckets(_docs(spark, sf_dir))
+
+
+def q19_jaccard(spark, sf_dir):
+    from kmertools_spark.operators import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), n=4, threshold=0.4)
+
+
+def q20_ann_topk(spark, sf_dir):
+    from kmertools_spark.operators import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.where("vec_id < 8"), k=5)
+
+
+def q21_cosine_neardup(spark, sf_dir):
+    from kmertools_spark.operators import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.2)
+
+
+def q22_text_features(spark, sf_dir):
+    from kmertools_spark.functions import lang_guess, quality_score, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        lang_guess(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q23_fingerprint(spark, sf_dir):
+    from kmertools_spark.functions import doc_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(16)(F.col("text")).alias("fp")
+    ).where(F.col("fp").isNotNull())
+
+
+def q24_minimizer_buckets(spark, sf_dir):
+    from kmertools_spark.operators import minimiser_index
+
+    idx = minimiser_index(_t(spark, sf_dir), w=0, m=4, salted=True)
+    return idx.select("mmer", F.size("postings").cast("long").alias("n_postings"))
+
+
+def q25_kmer_decode(spark, sf_dir):
+    """Top-50 k-mers with ACGT decode (P5 codec parity)."""
+    from pyspark.sql.types import StringType
+
+    from kmertools_spark.oracle.codec import numeric_to_kmer
+
+    @pandas_udf(StringType())
+    def decode(vals: pd.Series) -> pd.Series:
+        # bounded to 50 rows by the LIMIT below — not a hot path
+        return vals.map(lambda v: numeric_to_kmer(int(v), 4))
+
+    top = q05_kmer_counts(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("kmer")).limit(50)
+    return top.select("kmer", decode("kmer").alias("acgt"), "cnt")
+
+
+# ---------------------------------------------------- rows-only queries
+
+
+def r26_minimizer_runs(spark, sf_dir):
+    """Full windowed minimizer-run state machine (W1) — not SQL-
+    expressible; parity is enforced in pytest vs the numpy oracle and
+    the reference span tables (tests/test_oracle_minimiser.py)."""
+    from kmertools_spark.functions import exploded_minimisers
+
+    return exploded_minimisers(_t(spark, sf_dir), w=8, m=5)
+
+
+def r27_rolling_session_vec(spark, sf_dir):
+    from kmertools_spark.operators import rolling_turn_vectors
+
+    return rolling_turn_vectors(_t(spark, sf_dir), k=4, mode="session", chunk=None)
+
+
+def r28_record_minimisers(spark, sf_dir):
+    from kmertools_spark.operators import record_minimisers
+
+    return record_minimisers(_t(spark, sf_dir), w=12, m=4)
+
+
+def r29_cgr(spark, sf_dir):
+    from kmertools_spark.functions import cgr_points
+
+    t = _t(spark, sf_dir)
+    clean = F.regexp_replace("text", "[^ACGTUacgtu]", "")
+    return t.select("conv_id", "turn_idx", cgr_points(1.0)(clean).alias("cgr"))
+
+
+def r30_ann_lsh(spark, sf_dir):
+    from kmertools_spark.operators import ann_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    return ann_topk_lsh(emb, emb.where("vec_id < 8"), dim=64, k=5)
+
+
+# ----------------------------------------------------- driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sessionized transcripts -> leakage-free as-of features."""
+    return q13_asof(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_transcripts_identity": q01_transcripts_identity,
+        "q02_sessionize": q02_sessionize,
+        "q03_session_stats": q03_session_stats,
+        "q04_lag_lead": q04_lag_lead,
+        "q05_kmer_counts": q05_kmer_counts,
+        "q06_kmer_topk": q06_kmer_topk,
+        "q07_composition": q07_composition,
+        "q08_composition_raw": q08_composition_raw,
+        "q09_minimizer_w0": q09_minimizer_w0,
+        "q10_coverage": q10_coverage,
+        "q11_rolling_turns": q11_rolling_turns,
+        "q12_rolling_time_stats": q12_rolling_time_stats,
+        "q13_asof": q13_asof,
+        "q14_session_to_date": q14_session_to_date,
+        "q15_dedup_exact": q15_dedup_exact,
+        "q16_minhash": q16_minhash,
+        "q17_lsh_candidates": q17_lsh_candidates,
+        "q18_simhash": q18_simhash,
+        "q19_jaccard": q19_jaccard,
+        "q20_ann_topk": q20_ann_topk,
+        "q21_cosine_neardup": q21_cosine_neardup,
+        "q22_text_features": q22_text_features,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_minimizer_buckets": q24_minimizer_buckets,
+        "q25_kmer_decode": q25_kmer_decode,
+        "r26_minimizer_runs": r26_minimizer_runs,
+        "r27_rolling_session_vec": r27_rolling_session_vec,
+        "r28_record_minimisers": r28_record_minimisers,
+        "r29_cgr": r29_cgr,
+        "r30_ann_lsh": r30_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kmertools_spark.oracle.sql_queries import build
+
+    return build()

@@ -1,0 +1,338 @@
+"""Full DuckDB oracle SQL strings for __spark_entry__.oracle_sql().
+
+Kept here (importable, testable) so the entry module stays thin. Every
+string is plain DuckDB 1.0 SQL over the driver's pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings); the transcripts/probes tables are derived inline via the
+exact same SQL the Spark side runs (sources/transcripts.py).
+"""
+
+from __future__ import annotations
+
+from ..functions.text import LANG_MARKERS
+from ..sources.transcripts import PROBES_SQL, TRANSCRIPTS_SQL
+from .sql import MOD, decode_expr, gram_cte, kmer_cte, perm_values, shingle_cte
+
+T = f"t AS ({TRANSCRIPTS_SQL})"
+P = f"p AS (SELECT DISTINCT * FROM ({PROBES_SQL}) _p)"
+K4 = f"grams AS ({gram_cte(4, 't')}), kmers AS ({kmer_cte(4)})"
+
+SESS = """
+sess0 AS (
+  SELECT conv_id, turn_idx, text, ts,
+    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 0
+         WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+         ELSE 0 END AS newsess
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+  SELECT conv_id, turn_idx, text, ts,
+    CAST(sum(newsess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+  FROM sess0
+)"""
+
+# per-char codes + per-turn OOV stats for the w=0 minimizer oracle
+CH = """
+ch AS (
+  SELECT conv_id, turn_idx, i,
+    CASE upper(substr(text, CAST(i AS INT), 1))
+      WHEN 'A' THEN 0 WHEN 'C' THEN 1 WHEN 'G' THEN 2
+      WHEN 'T' THEN 3 WHEN 'U' THEN 3 ELSE 4 END AS c
+  FROM (SELECT conv_id, turn_idx, text,
+               unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS i
+        FROM t) _
+),
+st AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS len,
+    CAST(coalesce(max(CASE WHEN c >= 4 THEN i END), 0) AS BIGINT) AS last_oov,
+    count(CASE WHEN c >= 4 THEN 1 END) AS n_oov
+  FROM ch GROUP BY conv_id, turn_idx
+)"""
+
+
+def _occ(padded: str, needle: str) -> str:
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def _lang_hits(lang: str) -> str:
+    return " + ".join(_occ("pad", m) for m in LANG_MARKERS[lang])
+
+
+def build() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    q["q01_transcripts_identity"] = TRANSCRIPTS_SQL
+
+    q["q02_sessionize"] = f"""
+WITH {T}, {SESS}
+SELECT conv_id, turn_idx, session_seq FROM sess"""
+
+    q["q03_session_stats"] = f"""
+WITH {T}, {SESS}
+SELECT conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS duration_ms
+FROM sess GROUP BY conv_id, session_seq"""
+
+    q["q04_lag_lead"] = f"""
+WITH {T}
+SELECT conv_id, turn_idx,
+  CAST(lag(length(text)) OVER w AS BIGINT) AS prev_len,
+  CAST(lead(length(text)) OVER w AS BIGINT) AS next_len,
+  lag(role) OVER w AS prev_role,
+  CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS BIGINT) AS gap_ms
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)"""
+
+    q["q05_kmer_counts"] = f"""
+WITH {T}, {K4}
+SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer"""
+
+    q["q06_kmer_topk"] = f"""
+WITH {T}, {K4}
+SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer
+ORDER BY cnt DESC, kmer LIMIT 25"""
+
+    q["q07_composition"] = f"""
+WITH {T}, {K4},
+ck AS (SELECT conv_id, turn_idx, kmer, CAST(count(*) AS DOUBLE) AS cnt
+       FROM kmers GROUP BY conv_id, turn_idx, kmer)
+SELECT conv_id, turn_idx, kmer,
+  cnt / greatest(1.0, sum(cnt) OVER (PARTITION BY conv_id, turn_idx)) AS freq
+FROM ck"""
+
+    q["q08_composition_raw"] = f"""
+WITH {T}, {K4},
+ck AS (SELECT conv_id, turn_idx, fwd AS kmer, CAST(count(*) AS DOUBLE) AS cnt
+       FROM kmers GROUP BY conv_id, turn_idx, fwd)
+SELECT conv_id, turn_idx, kmer,
+  cnt / greatest(1.0, 2.0 * sum(cnt) OVER (PARTITION BY conv_id, turn_idx)) AS freq
+FROM ck"""
+
+    q["q09_minimizer_w0"] = f"""
+WITH {T}, {K4}, {CH}
+SELECT k.conv_id, k.turn_idx, CAST(min(k.kmer) AS BIGINT) AS mmer,
+  CAST(0 AS BIGINT) AS win_start, s.len AS win_end
+FROM kmers k JOIN st s ON s.conv_id = k.conv_id AND s.turn_idx = k.turn_idx
+WHERE s.n_oov = 0 AND s.len >= 4
+GROUP BY k.conv_id, k.turn_idx, s.len
+UNION ALL
+SELECT conv_id, turn_idx, CAST(-1 AS BIGINT), last_oov, len
+FROM st WHERE n_oov > 0 AND len - last_oov >= 4"""
+
+    q["q10_coverage"] = f"""
+WITH {T}, {K4},
+gcnt AS (SELECT kmer, count(*) AS c FROM kmers GROUP BY kmer),
+occ AS (SELECT k.conv_id, k.turn_idx,
+          least(CAST(g.c // 4 AS BIGINT), 7) AS bin
+        FROM kmers k JOIN gcnt g USING (kmer))
+SELECT conv_id, turn_idx, bin, CAST(count(*) AS BIGINT) AS n
+FROM occ GROUP BY conv_id, turn_idx, bin"""
+
+    q["q11_rolling_turns"] = f"""
+WITH {T}, {K4},
+ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
+       FROM kmers GROUP BY conv_id, turn_idx, kmer)
+SELECT t1.conv_id, t1.turn_idx, c2.kmer, CAST(sum(c2.c) AS BIGINT) AS cnt
+FROM t t1 JOIN ck c2 ON c2.conv_id = t1.conv_id
+  AND c2.turn_idx BETWEEN t1.turn_idx - 2 AND t1.turn_idx
+GROUP BY t1.conv_id, t1.turn_idx, c2.kmer"""
+
+    q["q12_rolling_time_stats"] = f"""
+WITH {T}
+SELECT conv_id, turn_idx,
+  CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+  CAST(sum(length(text)) OVER w AS BIGINT) AS w_chars
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_ms(ts)
+  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)"""
+
+    q["q13_asof"] = f"""
+WITH {T}, {P},
+j AS (
+  SELECT p.conv_id, p.probe_ts, t.turn_idx,
+    CAST(length(t.text) AS BIGINT) AS text_len,
+    row_number() OVER (PARTITION BY p.conv_id, p.probe_ts
+                       ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM p LEFT JOIN t ON t.conv_id = p.conv_id AND t.ts < p.probe_ts
+)
+SELECT conv_id, probe_ts, turn_idx AS asof_turn_idx, text_len AS asof_text_len
+FROM j WHERE rn = 1"""
+
+    q["q14_session_to_date"] = f"""
+WITH {T}, {SESS}
+SELECT conv_id, turn_idx,
+  CAST(count(*) OVER w AS BIGINT) AS std_turns,
+  CAST(sum(length(text)) OVER w AS BIGINT) AS std_chars
+FROM sess WINDOW w AS (PARTITION BY conv_id, session_seq ORDER BY ts, turn_idx
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+    q["q15_dedup_exact"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text"""
+
+    q["q16_minhash"] = f"""
+WITH sh AS ({shingle_cte(8)})
+SELECT doc_id, CAST(perm AS INT) AS perm,
+  CAST(min((a * h + b) % {MOD}) AS BIGINT) AS sig
+FROM sh CROSS JOIN {perm_values()}
+GROUP BY doc_id, perm"""
+
+    q["q17_lsh_candidates"] = f"""
+WITH sh AS ({shingle_cte(8)}),
+sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
+  FROM sh CROSS JOIN {perm_values()}
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, perm // 4 AS band,
+    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+    bits_values = ", ".join(f"({b}, {2 ** b})" for b in range(16))
+    q["q18_simhash"] = f"""
+WITH sh AS ({shingle_cte(8)}),
+bits AS (
+  SELECT doc_id, b, p,
+    CASE WHEN sum(((h // p) % 2) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+  FROM sh CROSS JOIN (VALUES {bits_values}) bb(b, p)
+  GROUP BY doc_id, b, p
+)
+SELECT doc_id, CAST(sum(bit * p) AS BIGINT) AS simhash FROM bits GROUP BY doc_id"""
+
+    q["q19_jaccard"] = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
+        FROM documents) _
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.4"""
+
+    q["q20_ann_topk"] = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+),
+expl AS (
+  SELECT query_id, neighbor_id,
+    CAST(qe[CAST(i AS INT)] AS DOUBLE) AS x, CAST(ce[CAST(i AS INT)] AS DOUBLE) AS y
+  FROM (SELECT *, unnest(range(1, 65)) AS i FROM pairs) _
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+    sum(x * y) AS dot, sqrt(sum(x * x)) AS nq, sqrt(sum(y * y)) AS nc
+  FROM expl GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (nq * nc) AS cos,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot / (nq * nc) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    q["q21_cosine_neardup"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS qe, b.embedding AS ce
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+expl AS (
+  SELECT id_a, id_b,
+    CAST(qe[CAST(i AS INT)] AS DOUBLE) AS x, CAST(ce[CAST(i AS INT)] AS DOUBLE) AS y
+  FROM (SELECT *, unnest(range(1, 65)) AS i FROM pairs) _
+),
+dots AS (
+  SELECT id_a, id_b, sum(x * y) AS dot,
+         sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+  FROM expl GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
+FROM dots WHERE round(dot / (na * nb), 6) >= 0.2"""
+
+    lang_case = """
+  CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+       WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+       WHEN de >= es AND de > 0 THEN 'de'
+       WHEN es > 0 THEN 'es' ELSE 'und' END"""
+    q["q22_text_features"] = f"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, text, n_chars,
+    {_lang_hits("en")} AS en, {_lang_hits("fr")} AS fr,
+    {_lang_hits("de")} AS de, {_lang_hits("es")} AS es,
+    {_occ("text", " ")} AS spaces
+  FROM base
+),
+feat AS (
+  SELECT doc_id,
+    CASE WHEN n_chars = 0 THEN 0 ELSE spaces + 1 END AS n_tokens,
+    {lang_case} AS lang,
+    n_chars, spaces,
+    n_chars - spaces AS alpha,
+    CASE WHEN n_chars = 0 THEN 0 ELSE spaces + 1 END AS n_words
+  FROM hits
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang,
+  round(
+    0.5 * (CASE WHEN n_chars > 0
+                THEN CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END)
+    + 0.5 * coalesce(
+        CASE WHEN n_words > 0 AND CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                  AND CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+             THEN 1.0
+             WHEN n_words > 0 THEN 0.0 END, 0.0), 6) AS quality
+FROM feat"""
+
+    q["q23_fingerprint"] = f"""
+WITH sh AS ({shingle_cte(16)})
+SELECT doc_id, CAST(min(h) AS BIGINT) AS fp FROM sh GROUP BY doc_id"""
+
+    q["q24_minimizer_buckets"] = f"""
+WITH {T}, {K4}, {CH},
+runs AS (
+  SELECT k.conv_id, k.turn_idx, CAST(min(k.kmer) AS BIGINT) AS mmer
+  FROM kmers k JOIN st s ON s.conv_id = k.conv_id AND s.turn_idx = k.turn_idx
+  WHERE s.n_oov = 0 AND s.len >= 4
+  GROUP BY k.conv_id, k.turn_idx
+  UNION ALL
+  SELECT conv_id, turn_idx, CAST(-1 AS BIGINT)
+  FROM st WHERE n_oov > 0 AND len - last_oov >= 4
+)
+SELECT mmer, CAST(count(*) AS BIGINT) AS n_postings FROM runs GROUP BY mmer"""
+
+    q["q25_kmer_decode"] = f"""
+WITH {T}, {K4},
+cnts AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer)
+SELECT kmer, {decode_expr("kmer", 4)} AS acgt, cnt
+FROM cnts ORDER BY cnt DESC, kmer LIMIT 50"""
+
+    return q

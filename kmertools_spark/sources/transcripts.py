@@ -55,13 +55,17 @@ SELECT
   CASE
     WHEN MOD(event_id, 97) = 0 THEN ''
     WHEN MOD(event_id, 97) = 1 THEN 'AC'
+    WHEN MOD(event_id, 11) = 3 THEN translate(
+      CAST(event_id * 1009 AS STRING) || CAST(event_id * 31 AS STRING)
+        || CAST(1000 + MOD(event_id, 8999) AS STRING),
+      '{_TR_FROM}', '{_TR_TO}')
     ELSE translate(
       repeat(
         upper(event_type) || ':' || CAST(event_id AS STRING)
           || CAST(MOD(event_id * 7919, 1000003) AS STRING)
           || substr(props, 1, 9),
         CAST(2 + MOD(event_id, 4) AS INT)
-      ),
+      ) || CAST(1000 + MOD(event_id * 31, 8999) AS STRING),
       '{_TR_FROM}', '{_TR_TO}')
   END AS text,
   CASE WHEN MOD(event_id, 5) = 2 THEN event_type ELSE NULL END AS tool,

@@ -1,0 +1,127 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet dir, then compares
+row count, column names/kinds, and sorted values (exact for
+ints/strings/timestamps, bit-tolerant 1e-9 for floats).
+
+Usage: python tests/compare_harness.py [sf0.001|sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify nullable ints
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(a) != len(b):
+        problems.append(f"rowcount spark={len(a)} duck={len(b)}")
+    if sorted(a.columns) != sorted(b.columns):
+        problems.append(f"columns spark={sorted(a.columns)} duck={sorted(b.columns)}")
+        return problems
+    if problems:
+        return problems
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            nan_ok = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=1e-9, atol=1e-12) | nan_ok
+            if not close.all():
+                i = int(np.flatnonzero(~close)[0])
+                problems.append(
+                    f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}"
+                )
+        else:
+            eq = av == bv
+            if not eq.all():
+                i = int(np.flatnonzero(~eq)[0])
+                problems.append(f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
+    sf_dir = f"/root/testdata/{sf}"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from kmertools_spark.session import get_spark
+
+    spark = get_spark("compare-harness", master="local[8]", shuffle_partitions=8)
+    con = duck_connection(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if len(sdf) == 0 and not name.endswith("empty_ok"):
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            for p in problems[:4]:
+                print(f"  {p}")
+        else:
+            print(f"OK   {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
