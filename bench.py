@@ -1,0 +1,123 @@
+"""Bench harness — prints ONE JSON line with headline timings.
+
+Queries (over $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+
+  backfill   sessionize + per-turn composition vectors + rolling 3-turn
+             vectors for every turn (the headline turns/sec metric)
+  asof       leakage-free as-of join of derived probes
+  counts_cov global k-mer counts + per-turn coverage histograms
+  dedup      minhash signatures -> LSH candidate pairs (documents)
+  ann        brute-force cosine top-k (embeddings)
+
+All queries force full computation via the noop sink / count; nothing
+is collected to the driver. SPARK_GRAFT_SCALING=1 makes this process
+emit its single-run JSON for use by bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def force(df) -> int:
+    """Force full evaluation; returns row count."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import functions as F
+
+    from kmertools_spark.operators import (
+        asof_join,
+        backfill_features_stream,
+        coverage_features,
+        cosine_topk,
+        global_kmer_counts,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kmertools_spark.session import get_spark
+    from kmertools_spark.sources import probes_df, transcripts_df
+
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "1"))
+    spark = get_spark(
+        "kmertools-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    t = transcripts_df(spark, sf_dir)
+    if rep > 1:
+        # deterministic scale-up: replicate conversations (preserves the
+        # per-conv turn/skew profile; used by bench_scaling.py)
+        reps = spark.range(rep).select(F.col("id").alias("__r"))
+        t = t.crossJoin(reps).withColumn(
+            "conv_id", F.concat_ws("_r", "conv_id", "__r")
+        ).drop("__r")
+    t = t.cache()
+    n_turns = t.count()
+    log(f"input: {n_turns} turns from {sf_dir} (rep={rep}) on local[{cpus}]")
+
+    # warm the python workers so the headline measures compute, not spawn
+    force(backfill_features_stream(t.limit(512), k=4, n_turns=3))
+
+    t0 = time.time()
+    rows = force(backfill_features_stream(t, k=4, n_turns=3))
+    timings["backfill"] = time.time() - t0
+    log(f"backfill: {rows} rows in {timings['backfill']:.2f}s")
+
+    t0 = time.time()
+    p = probes_df(spark, sf_dir).distinct()
+    force(asof_join(t.withColumn("text_len", F.length("text")), p,
+                    value_cols=("turn_idx", "text_len")))
+    timings["asof"] = time.time() - t0
+
+    t0 = time.time()
+    counts = global_kmer_counts(t, k=4)
+    force(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
+    timings["counts_cov"] = time.time() - t0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    force(lsh_candidate_pairs(minhash_signatures(docs), bands=4))
+    timings["dedup"] = time.time() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    force(cosine_topk(emb, emb.where("vec_id < 8"), k=5))
+    timings["ann"] = time.time() - t0
+
+    total = time.time() - t_all
+    spark.stop()
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline suite wall time (turns/sec in extras.turns_per_sec)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extras": {
+            "n_turns": n_turns,
+            "cpus": cpus,
+            "turns_per_sec": round(n_turns / timings["backfill"], 1),
+            "total_wall_sec": round(total, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

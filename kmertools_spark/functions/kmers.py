@@ -50,7 +50,10 @@ def exploded_kmers(
             out["rc"] = r.astype(np.int64)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(gen, schema)
+    # mapInPandas is a Catalyst black box: project explicitly so column
+    # pruning reaches the scan (and upstream windows over unused
+    # columns are dropped entirely)
+    return df.select(*keys, text_col).mapInPandas(gen, schema)
 
 
 def kmer_count_pairs(
@@ -79,4 +82,5 @@ def kmer_count_pairs(
             kmers, counts = np.unique(vals, return_counts=True)
             yield pd.DataFrame({"kmer": kmers, "cnt": counts.astype(np.int64)})
 
-    return df.mapInPandas(gen, schema)
+    # explicit projection: only the text column crosses the Arrow boundary
+    return df.select(text_col).mapInPandas(gen, schema)

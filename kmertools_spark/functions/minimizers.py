@@ -51,4 +51,6 @@ def exploded_minimisers(
             out["win_end"] = ee
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(gen, schema)
+    # explicit projection so pruning reaches the scan (mapInPandas is a
+    # Catalyst black box)
+    return df.select(*keys, text_col).mapInPandas(gen, schema)

@@ -11,7 +11,7 @@ from .dedup import (
     minhash_signatures,
     simhash_buckets,
 )
-from .rolling import rolling_turn_vectors
+from .rolling import backfill_features, backfill_features_stream, rolling_turn_vectors
 from .sessionize import lag_lead_features, sessionize
 from .similarity import (
     ann_topk_lsh,
@@ -34,6 +34,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "simhash_buckets",
+    "backfill_features",
+    "backfill_features_stream",
     "rolling_turn_vectors",
     "lag_lead_features",
     "sessionize",

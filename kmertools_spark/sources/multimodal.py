@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+mapInPandas kernels. The decode step itself is STUBBED (image/audio
+codecs are not in this container): `deterministic_fake_decode` derives a
+seeded fake feature vector from the payload bytes so the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real
+and tested end-to-end; swap `_decode_rgb` for a real codec on a cluster
+with the libraries installed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                    StructField("mime", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(128 + (i % 5) * 64)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                (64 + i % 4 * 16, 48 + i % 3 * 16, 1 + (i % 7), f"x-fake/{kind}"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode: a real implementation would call an image codec
+    (e.g. Pillow / libjpeg). Deterministic fake: payload bytes tiled to
+    (height, width, 3) uint8."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height * 3
+    tiled = np.resize(raw, need)
+    return tiled.reshape(height, width, 3)
+
+
+def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-media feature vector: channel-mean + byte histogram.
+
+    mapInPandas over (media_id, payload, meta) — Arrow batches, numpy
+    kernels, no per-row Python beyond the stubbed decode loop (bounded
+    by batch size; a real codec call is per-payload by nature).
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("feat", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_kind, out_feat = [], [], []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                img = _decode_rgb(bytes(row["payload"]), m["width"], m["height"])
+                hist = np.bincount(img.ravel() >> 5, minlength=n_bins).astype(
+                    np.float64
+                )
+                hist /= max(1.0, hist.sum())
+                means = img.reshape(-1, 3).mean(axis=0) / 255.0
+                out_id.append(row["media_id"])
+                out_kind.append(row["kind"])
+                out_feat.append(np.concatenate([means, hist]).tolist())
+            yield pd.DataFrame(
+                {"media_id": out_id, "kind": out_kind, "feat": out_feat}
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame index.
+
+    Pure JVM expressions (sequence + explode); the per-frame decode
+    would plug into media_features downstream.
+    """
+    return df.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    )

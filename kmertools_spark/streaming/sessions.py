@@ -1,0 +1,59 @@
+"""Structured Streaming surface (SURVEY §2.9 — engine addition).
+
+The reference is strictly batch; these builders give the engine an
+incremental path for the same semantics:
+
+  * streaming_sessionize: event-time session windows with a watermark
+    (the streaming analog of the gap-sessionization cumulative-flag sum)
+  * streaming_kmer_counts: incremental global k-mer counting — the
+    streaming form of the reference's chunked counter (A4): each
+    micro-batch is a chunk, state-store aggregation is the merge.
+
+Both return unstarted DataFrames; callers attach writeStream sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(conv_id, session_window) turn counts + char totals.
+
+    Uses Spark's native session_window (gap-based, event time) with a
+    watermark for late data — semantics match batch sessionize for data
+    arriving within the watermark.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("conv_id"),
+            F.session_window("ts", f"{int(gap_seconds)} seconds").alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+
+def streaming_kmer_counts(
+    stream: DataFrame, k: int = 4, watermark: str = "1 hour"
+) -> DataFrame:
+    """Incremental canonical k-mer counts (update-mode aggregation)."""
+    from ..functions.kmers import kmer_count_pairs
+
+    pairs = kmer_count_pairs(stream, k=k)
+    return pairs.groupBy("kmer").agg(F.sum("cnt").alias("cnt"))

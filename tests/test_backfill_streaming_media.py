@@ -1,0 +1,124 @@
+"""Backfill kill/resume equivalence, streaming surface, multimodal stubs."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kmertools_spark.plans import BackfillDriver
+from kmertools_spark.sources import synth_transcripts_pdf
+from kmertools_spark.sources.multimodal import frame_sample, media_features, synth_media
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(
+        synth_transcripts_pdf(n_convs=24, mean_turns=6, seed=3)
+    )
+
+
+def _collect_sorted(df):
+    pdf = df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pdf
+
+
+def test_backfill_resume_equals_single_shot(spark, tdf, tmp_path):
+    # single-shot run
+    d1 = BackfillDriver(str(tmp_path / "one"), n_buckets=8)
+    entries = d1.run(tdf)
+    assert len(entries) == 8
+    full = _collect_sorted(d1.result(spark))
+
+    # killed after 3 buckets, then resumed
+    d2 = BackfillDriver(str(tmp_path / "two"), n_buckets=8)
+    first = d2.run(tdf, max_buckets=3)
+    assert len(first) == 3
+    assert len(d2.pending()) == 5
+    d3 = BackfillDriver(str(tmp_path / "two"), n_buckets=8)  # fresh driver, same dir
+    rest = d3.run(tdf)
+    assert len(rest) == 5
+    resumed = _collect_sorted(d3.result(spark))
+
+    assert len(full) == len(tdf.toPandas())
+    assert full["conv_id"].tolist() == resumed["conv_id"].tolist()
+    assert full["turn_idx"].tolist() == resumed["turn_idx"].tolist()
+    a = np.vstack(full["vec"].to_numpy())
+    b = np.vstack(resumed["vec"].to_numpy())
+    assert np.array_equal(a, b)
+
+    # lineage metrics recorded per partition
+    m = d3.metrics()
+    assert {e["bucket"] for e in m} == set(range(8))
+    assert all(e["rows_out"] == e["rows_in"] for e in m)
+    assert all(e["wall_ms"] >= 0 and e["checksum"] is not None for e in m)
+
+
+def test_backfill_rerun_is_noop(spark, tdf, tmp_path):
+    d = BackfillDriver(str(tmp_path / "noop"), n_buckets=4)
+    d.run(tdf)
+    again = d.run(tdf)
+    assert again == []
+
+
+def test_streaming_sessionize_available_now(spark, tdf, tmp_path):
+    """Streaming session windows over a file source, availableNow trigger."""
+    from kmertools_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "stream_src")
+    tdf.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(tdf.schema).parquet(src)
+    sessions = streaming_sessionize(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_out")
+    assert got.count() > 0
+    # total turns across session windows == input rows
+    assert got.agg(F.sum("n_turns")).first()[0] == tdf.count()
+
+
+def test_streaming_kmer_counts_match_batch(spark, tdf, tmp_path):
+    from kmertools_spark.operators import global_kmer_counts
+    from kmertools_spark.streaming import streaming_kmer_counts
+
+    src = str(tmp_path / "stream_src2")
+    tdf.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(tdf.schema).parquet(src)
+    counts = streaming_kmer_counts(stream, k=4)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("kc_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM kc_out").toPandas().sort_values("kmer")
+    exp = global_kmer_counts(tdf, k=4).toPandas().sort_values("kmer")
+    assert got["kmer"].tolist() == exp["kmer"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media(spark, n=12)
+    f1 = media_features(media).toPandas().sort_values("media_id")
+    f2 = media_features(media).toPandas().sort_values("media_id")
+    assert len(f1) == 12
+    for a, b in zip(f1["feat"], f2["feat"]):
+        assert list(a) == list(b)
+        assert len(a) == 3 + 8
+        assert abs(sum(a[3:]) - 1.0) < 1e-9  # histogram part normalized
+
+
+def test_frame_sample(spark):
+    media = synth_media(spark, n=12)
+    frames = frame_sample(media, every=2).toPandas()
+    vids = media.where("kind = 'video'").select("media_id", "meta.n_frames").toPandas()
+    exp = sum(len(range(0, int(n), 2)) for n in vids["n_frames"])
+    assert len(frames) == exp

@@ -155,6 +155,38 @@ def test_rolling_turn_vectors(spark, tdf, chunk):
         assert np.allclose(np.array(r.vec), exp[(r.conv_id, int(r.turn_idx))], rtol=1e-9)
 
 
+def test_backfill_fused_and_stream_match_composable(spark, tdf):
+    """backfill_features (grouped+chunked) and backfill_features_stream
+    (sorted-merge mapInPandas with cross-batch carry) both equal the
+    composable sessionize+composition+rolling formulation."""
+    from kmertools_spark.functions import composition_vector
+    from kmertools_spark.operators import backfill_features, backfill_features_stream
+
+    df, pdf = tdf
+
+    def sorted_pdf(d):
+        return d.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    fused = sorted_pdf(backfill_features(df, k=4, n_turns=3, chunk=8))
+    stream = sorted_pdf(backfill_features_stream(df, k=4, n_turns=3))
+    comp = sorted_pdf(
+        sessionize(df).withColumn("v", composition_vector(4)("text")).select(
+            "conv_id", "turn_idx", "session_seq", "v"
+        )
+    )
+    roll = rolling_oracle(pdf, 4, 3)
+    assert len(fused) == len(stream) == len(pdf)
+    assert np.allclose(np.vstack(fused["vec"]), np.vstack(comp["v"]))
+    assert np.allclose(np.vstack(stream["vec"]), np.vstack(comp["v"]))
+    assert (fused["session_seq"].to_numpy() == comp["session_seq"].to_numpy()).all()
+    assert (stream["session_seq"].to_numpy() == comp["session_seq"].to_numpy()).all()
+    for frame in (fused, stream):
+        for _, r in frame.iterrows():
+            assert np.allclose(
+                np.array(r.roll_vec), roll[(r.conv_id, int(r.turn_idx))], rtol=1e-9
+            )
+
+
 def test_rolling_time_vectors(spark, tdf):
     df, pdf = tdf
     horizon = 900.0
