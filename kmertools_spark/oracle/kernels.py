@@ -365,6 +365,37 @@ def whole_record_minimisers(
     )
 
 
+def kmer_minimiser_runs(
+    text: str | bytes, w: int, m: int
+) -> list[tuple[int, int, int, list[int]]]:
+    """W3: minimizer runs + the canonical w-size k-mers of each run.
+
+    Re-derivation of KmerMinimiserGenerator (kmer/src/kmer_minimisers.rs:
+    69-205): the per-run k_buff collects every canonical w-mer seen since
+    the previous emission (or OOV flush), so run j's k-mers are exactly
+    the canonical w-size windows whose end position lies in
+    (emission_{j-1}, emission_j]. Emission position == the emitted run's
+    exclusive end (change char / OOV char / text end) in every case;
+    w-mers after the final emission are dropped (lost-final-run quirk).
+    """
+    data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+    n = len(data)
+    runs = minimiser_runs(data, w, m)
+    if not runs or n == 0:
+        return [(v, s, e, []) for v, s, e in runs]
+    w_eff = n if w == 0 else w
+    codes = SEQ_NT4[np.frombuffer(data, dtype=np.uint8)]
+    pos, f, r = kmer_windows(codes, w_eff)
+    ends = pos + w_eff - 1
+    canon = np.minimum(f, r).astype(np.int64)
+    bounds = np.asarray([e for _, _, e in runs], dtype=np.int64)
+    assign = np.searchsorted(bounds, ends, side="left")
+    out = []
+    for j, (v, s, e) in enumerate(runs):
+        out.append((v, s, e, canon[assign == j].tolist()))
+    return out
+
+
 def minimiser_runs_batch(
     texts: Iterable[str | None], w: int, m: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

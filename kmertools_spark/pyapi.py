@@ -1,0 +1,129 @@
+"""Drop-in twin of the reference's `pykmertools` Python API.
+
+A user of pykmertools (pip/src/lib.rs:31-40) can switch imports to
+`kmertools_spark.pyapi` and run the same code: same class names,
+signatures, defaults, return shapes and error behavior
+(pybindings/src/{oligo,cgr,kmer,min}.rs + pykmertools.pyi), implemented
+over the numpy oracle kernels — including the binding-only raw-mode
+normalization quirk (pybindings/src/oligo.rs:59-63).
+"""
+
+from __future__ import annotations
+
+from .oracle.codec import kmer_pos_maps
+from .oracle.codec import kmer_to_numeric as _k2n
+from .oracle.codec import numeric_to_kmer as _n2k
+from .oracle.kernels import (
+    cgr_trajectory,
+    composition_matrix,
+    kmer_minimiser_runs,
+    minimiser_runs,
+)
+from .oracle.reference import kmer_iter
+
+
+class OligoComputer:
+    """Oligo frequency vectors (pybindings/src/oligo.rs:15-100)."""
+
+    def __init__(self, ksize: int):
+        self.ksize = ksize
+        self._pos_map, self._pos_kmer, self.kcount = kmer_pos_maps(ksize)
+
+    def vectorise_one(self, seq: str, norm: bool = True, mins: bool = True) -> list[float]:
+        mat = composition_matrix(
+            [seq],
+            self.ksize,
+            canonical=mins,
+            norm=norm,
+            pos_map=self._pos_map if mins else None,
+            kcount=self.kcount if mins else None,
+            binding_quirk=True,  # this IS the binding (total += 2 in raw mode)
+        )
+        return mat[0].tolist()
+
+    def vectorise_batch(
+        self, seqs: list[str], norm: bool = True, mins: bool = True
+    ) -> list[list[float]]:
+        mat = composition_matrix(
+            seqs,
+            self.ksize,
+            canonical=mins,
+            norm=norm,
+            pos_map=self._pos_map if mins else None,
+            kcount=self.kcount if mins else None,
+            binding_quirk=True,
+        )
+        return [row.tolist() for row in mat]
+
+    def get_header(self, mins: bool = True) -> list[str]:
+        if mins:
+            return [_n2k(int(v), self.ksize) for v in self._pos_kmer]
+        return [_n2k(v, self.ksize) for v in range(4**self.ksize)]
+
+
+class CgrComputer:
+    """Chaos-game-representation vectors (pybindings/src/cgr.rs:16-62)."""
+
+    def __init__(self, vecsize: int):
+        self.vecsize = float(vecsize)
+
+    def vectorise_one(self, seq: str) -> list[tuple[float, float]]:
+        tr = cgr_trajectory(seq, self.vecsize)
+        if tr is None:
+            raise ValueError("Bad nucleotide, unable to proceed")
+        return [(float(x), float(y)) for x, y in tr]
+
+    def vectorise_batch(self, seqs: list[str]) -> list[list[tuple[float, float]]]:
+        return [self.vectorise_one(s) for s in seqs]
+
+
+class KmerGenerator:
+    """Iterator of (fwd, rc) k-mers (pybindings/src/kmer.rs:15-42)."""
+
+    def __init__(self, seq: str, ksize: int):
+        self._items = kmer_iter(seq, ksize)
+        self._ksize = ksize
+
+    def __iter__(self):
+        return iter(self._items)
+
+    def kmer_pos_maps(self):
+        pos_map, pos_kmer, count = kmer_pos_maps(self._ksize)
+        return pos_map.tolist(), {int(i): int(v) for i, v in enumerate(pos_kmer)}, count
+
+
+class MinimiserGenerator:
+    """Iterator of (minimiser, start, end) runs (pybindings/src/min.rs:15-48)."""
+
+    def __init__(self, seq: str, wsize: int, msize: int):
+        self._items = minimiser_runs(seq, wsize, msize)
+        self._msize = msize
+
+    def __iter__(self):
+        return iter(self._items)
+
+    def to_acgt(self, kmer: int) -> str:
+        return _n2k(kmer, self._msize)
+
+
+class KmerMinimiserGenerator:
+    """Iterator of (minimiser, start, end, kmers) runs
+    (kmer/src/kmer_minimisers.rs:69-205)."""
+
+    def __init__(self, seq: str, wsize: int, msize: int):
+        self._items = kmer_minimiser_runs(seq, wsize, msize)
+
+    def __iter__(self):
+        return iter(self._items)
+
+
+class utils:  # noqa: N801 — module-style namespace, matches pykmertools.utils
+    @staticmethod
+    def to_acgt(kmer: int, k: int) -> str:
+        return _n2k(kmer, k)
+
+    @staticmethod
+    def to_numeric(kmer: str) -> tuple[int, int]:
+        if len(kmer) > 32:
+            raise ValueError("k-mer size must be <= 32")
+        return _k2n(kmer)

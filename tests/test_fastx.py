@@ -1,0 +1,70 @@
+"""FASTA/FASTQ source + delimited sink vs the reference golden corpus:
+the full comp-oligo pipeline reproduced byte-identically."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmertools_spark.functions import composition_vector
+from kmertools_spark.sources.fastx import (
+    infer_format,
+    read_fastx,
+    seq_stats,
+    write_vectors_text,
+)
+
+REF = "/root/reference/test_data"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference corpus absent"
+)
+
+
+def test_infer_format():
+    # ktio/src/seq.rs:30-42 incl. .gz strip
+    assert infer_format("x.fq") == "fastq"
+    assert infer_format("x.fastq.gz") == "fastq"
+    assert infer_format("x.fa") == "fasta"
+    assert infer_format("x.fasta.gz") == "fasta"
+    with pytest.raises(ValueError):
+        infer_format("x.txt")
+
+
+def test_read_fastq_fasta_gz_agree(spark):
+    # ktio/src/seq.rs:157-234: same records across formats
+    fq = read_fastx(spark, f"{REF}/reads.fq").collect()
+    fa = read_fastx(spark, f"{REF}/reads.fa").collect()
+    gz = read_fastx(spark, f"{REF}/reads.fq.gz").collect()
+    assert len(fq) == 2
+    assert [r.seq for r in fq] == [r.seq for r in fa] == [r.seq for r in gz]
+    assert [r.id for r in fq] == ["Read_1", "Read_2"]
+
+
+def test_seq_stats(spark):
+    df = read_fastx(spark, f"{REF}/reads.fq")
+    assert seq_stats(df) == (2, 144)
+
+
+def test_comp_oligo_pipeline_byte_identical(spark, tmp_path):
+    """End-to-end `kmertools comp oligo` parity: FASTQ in, 6-dp delimited
+    vectors out, byte-equal to expected_fa.kmers (the reference's own
+    mmap determinism golden, composition/src/oligo.rs:311-342)."""
+    df = read_fastx(spark, f"{REF}/reads.fq")
+    out = df.withColumn("vec", composition_vector(4)(F.col("seq")))
+    path = str(tmp_path / "computed.kmers")
+    write_vectors_text(out, path, vec_col="vec", order_col="n")
+    assert open(path, "rb").read() == open(f"{REF}/expected_fa.kmers", "rb").read()
+
+
+def test_comp_oligo_unnorm_golden(spark, tmp_path):
+    # expected_fa_batch_unnorm.kmers (composition/src/oligo.rs:370-387)
+    df = read_fastx(spark, f"{REF}/reads.fq")
+    out = df.withColumn(
+        "vec", composition_vector(4, norm=False)(F.col("seq"))
+    )
+    path = str(tmp_path / "computed_unnorm.kmers")
+    write_vectors_text(out, path, vec_col="vec", order_col="n", norm=False)
+    assert (
+        open(path, "rb").read()
+        == open(f"{REF}/expected_fa_batch_unnorm.kmers", "rb").read()
+    )
