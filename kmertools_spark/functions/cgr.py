@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-from ..oracle.kernels import cgr_trajectory
+from ..oracle.kernels import cgr_batch
 
 _POINT = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
 
@@ -21,8 +21,7 @@ def cgr_points(vecsize: float = 1.0):
     @pandas_udf(ArrayType(_POINT))
     def _udf(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            tr = cgr_trajectory(t or "", vecsize)
+        for tr in cgr_batch(texts.tolist(), vecsize):
             if tr is None:
                 out.append(None)
             else:

@@ -423,9 +423,6 @@ def minimiser_runs_batch(
 _CGR_X = np.array([0.0, 0.0, 1.0, 1.0])  # scaled by vecsize
 _CGR_Y = np.array([0.0, 1.0, 1.0, 0.0])
 
-_CGR_CHUNK = 48  # dyadic scaling stays exactly representable per chunk
-
-
 def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
     """Chaos-game-representation walk: one (x, y) point per character.
 
@@ -434,9 +431,10 @@ def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
     None if the text contains an OOV character (the reference errors;
     Spark maps this to a null row instead).
 
-    Evaluated chunk-wise with the closed form
-      marker_{t} = marker_0 / 2^t + sum_j corner_j / 2^{t-j+1}
-    which is exact (dyadic) within each 48-step chunk.
+    Evaluated with the reference's exact sequential recurrence (same FP
+    op order -> bit-identical doubles, needed for golden text parity; a
+    closed-form cumsum drifts ~2 ulp past 53 significant bits). Batch
+    jobs vectorize ACROSS rows via cgr_batch instead.
     """
     data = text.encode("utf-8")
     codes = SEQ_NT4[np.frombuffer(data, dtype=np.uint8)] if data else np.empty(0, np.uint8)
@@ -444,18 +442,53 @@ def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
         return None
     n = codes.size
     out = np.empty((n, 2), dtype=np.float64)
-    cx = _CGR_X[codes] * vecsize
-    cy = _CGR_Y[codes] * vecsize
+    cx = (_CGR_X * vecsize)[codes].tolist()
+    cy = (_CGR_Y * vecsize)[codes].tolist()
     mx, my = vecsize / 2.0, vecsize / 2.0
-    for off in range(0, n, _CGR_CHUNK):
-        c = min(_CGR_CHUNK, n - off)
-        t = np.arange(1, c + 1)
-        scale = np.exp2(-t)  # 2^-1 .. 2^-c, exact
-        # contribution of each corner j (1-based) to marker t>=j: corner/2^{t-j+1}
-        # implemented as (cumsum of corner_j * 2^{j-1}) * 2^-t
-        wx = np.cumsum(cx[off : off + c] * np.exp2(t - 1.0))
-        wy = np.cumsum(cy[off : off + c] * np.exp2(t - 1.0))
-        out[off : off + c, 0] = mx * scale + wx * scale
-        out[off : off + c, 1] = my * scale + wy * scale
-        mx, my = out[off + c - 1]
+    for i in range(n):
+        mx = (cx[i] + mx) / 2.0
+        my = (cy[i] + my) / 2.0
+        out[i, 0] = mx
+        out[i, 1] = my
     return out
+
+
+def cgr_batch(texts: Sequence[str | None], vecsize: float = 1.0) -> list[np.ndarray | None]:
+    """Batch CGR: the sequential recurrence vectorized ACROSS rows.
+
+    One numpy step per character *position* over all rows at once —
+    identical FP op order per row to the reference loop; rows with OOV
+    characters yield None.
+    """
+    n = len(texts)
+    enc = [(t or "").encode("utf-8") for t in texts]
+    codes = [SEQ_NT4[np.frombuffer(b, dtype=np.uint8)] if b else np.empty(0, np.uint8) for b in enc]
+    ok = np.array([not (c >= 4).any() for c in codes])
+    lens = np.array([c.size if o else 0 for c, o in zip(codes, ok)])
+    maxlen = int(lens.max()) if n else 0
+    outs: list[np.ndarray | None] = [
+        np.empty((int(L), 2)) if o else None for L, o in zip(lens, ok)
+    ]
+    if maxlen == 0:
+        return outs
+    # pad codes into a (n, maxlen) matrix (pad value 0 is harmless, masked)
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, c in enumerate(codes):
+        if ok[i] and c.size:
+            mat[i, : c.size] = c
+    cx = _CGR_X[mat] * vecsize
+    cy = _CGR_Y[mat] * vecsize
+    trail_x = np.empty((n, maxlen))
+    trail_y = np.empty((n, maxlen))
+    mx = np.full(n, vecsize / 2.0)
+    my = np.full(n, vecsize / 2.0)
+    for t in range(maxlen):
+        mx = (cx[:, t] + mx) / 2.0
+        my = (cy[:, t] + my) / 2.0
+        trail_x[:, t] = mx
+        trail_y[:, t] = my
+    for i in range(n):
+        if outs[i] is not None and lens[i]:
+            outs[i][:, 0] = trail_x[i, : lens[i]]
+            outs[i][:, 1] = trail_y[i, : lens[i]]
+    return outs
