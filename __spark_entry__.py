@@ -300,6 +300,16 @@ def q25_kmer_decode(spark, sf_dir):
     return top.select("kmer", decode("kmer").alias("acgt"), "cnt")
 
 
+def q31_exploded_kmers(spark, sf_dir):
+    """P1 tokenizer at row granularity: every valid window's
+    (pos, fwd, rc) — the most direct oracle check of the 2-bit math."""
+    from kmertools_spark.functions import exploded_kmers
+
+    return exploded_kmers(_t(spark, sf_dir), k=4).select(
+        "conv_id", "turn_idx", "pos", "fwd", "rc"
+    )
+
+
 # ---------------------------------------------------- rows-only queries
 
 
@@ -374,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_fingerprint": q23_fingerprint,
         "q24_minimizer_buckets": q24_minimizer_buckets,
         "q25_kmer_decode": q25_kmer_decode,
+        "q31_exploded_kmers": q31_exploded_kmers,
         "r26_minimizer_runs": r26_minimizer_runs,
         "r27_rolling_session_vec": r27_rolling_session_vec,
         "r28_record_minimisers": r28_record_minimisers,

@@ -253,19 +253,30 @@ def backfill_features_stream(
     skew answer for the rolling window: a 10^6-turn conversation costs
     one task time-wise but never more than one batch memory-wise).
     """
-    from .sessionize import sessionize
+    from .timeutil import epoch_ms
 
-    work = df if "session_seq" in df.columns else sessionize(df, gap_seconds)
-    work = work.select("conv_id", "turn_idx", "session_seq", "text")
+    # sessionization happens IN-KERNEL over the same sorted stream (gap
+    # cumsum with cross-batch carry) unless session_seq is already
+    # present — saving a second full-data shuffle (the window pass).
+    have_sess = "session_seq" in df.columns
+    cols = ["conv_id", "turn_idx", "text"]
+    if have_sess:
+        cols.append("session_seq")
+        work = df.select(*cols)
+    else:
+        work = df.select(*cols, epoch_ms("ts").alias("__ts_ms"))
     parts = n_partitions or work.sparkSession.sparkContext.defaultParallelism
     work = work.repartition(parts, "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
     )
+    gap_ms = int(gap_seconds * 1000)
 
     def gen(batches):
         pos_map, _, kcount = _pos_map(k)
         carry_conv: str | None = None
         carry_counts = np.zeros((0, kcount))
+        carry_ts: int = 0
+        carry_seq: int = 0
         for pdf in batches:
             B = len(pdf)
             if B == 0:
@@ -275,11 +286,8 @@ def backfill_features_stream(
                 pdf["text"].tolist(), k, canonical=True, norm=False,
                 pos_map=pos_map, kcount=kcount,
             )
-            cc = (
-                carry_counts
-                if carry_conv is not None and conv[0] == carry_conv
-                else np.zeros((0, kcount))
-            )
+            carried = carry_conv is not None and conv[0] == carry_conv
+            cc = carry_counts if carried else np.zeros((0, kcount))
             m = cc.shape[0]
             full = np.vstack([cc, counts]) if m else counts
             prefix = np.vstack([np.zeros((1, kcount)), np.cumsum(full, axis=0)])
@@ -302,6 +310,33 @@ def backfill_features_stream(
             )
             if norm:
                 roll = roll / np.maximum(1.0, roll.sum(axis=1))[:, None]
+
+            if have_sess:
+                sess = pdf["session_seq"].to_numpy()
+            else:
+                ts = pdf["__ts_ms"].to_numpy(dtype=np.int64)
+                prev = np.empty(B, dtype=np.int64)
+                prev[1:] = ts[:-1]
+                prev[0] = carry_ts if carried else ts[0]
+                is_first = np.zeros(B, dtype=bool)
+                is_first[seg_starts_batch] = True
+                if carried:
+                    is_first[0] = False
+                newsess = ((ts - prev > gap_ms) & ~is_first).astype(np.int64)
+                # per-conv cumulative sum: subtract the running total at
+                # each segment start (vectorized cumsum reset)
+                cum = np.cumsum(newsess)
+                seg_base = np.zeros(B, dtype=np.int64)
+                seg_base[:] = (cum - newsess)[seg_starts_batch][seg_of_row]
+                sess = cum - seg_base
+                if carried:
+                    first_len = int(
+                        (newseg[0] if newseg.size else B)
+                    )
+                    sess[:first_len] += carry_seq
+                carry_ts = int(ts[-1])
+                carry_seq = int(sess[-1])
+
             # carry: last conversation's trailing (n_turns-1) count rows
             last_rows = full.shape[0] - int(seg_starts_full[-1])
             take = min(n_turns - 1, last_rows)
@@ -311,7 +346,7 @@ def backfill_features_stream(
                 {
                     "conv_id": pdf["conv_id"],
                     "turn_idx": pdf["turn_idx"].astype("int32"),
-                    "session_seq": pdf["session_seq"].astype("int32"),
+                    "session_seq": np.asarray(sess, dtype=np.int32),
                     "vec": list(per_turn),
                     "roll_vec": list(roll),
                 }

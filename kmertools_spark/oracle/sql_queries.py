@@ -335,4 +335,9 @@ cnts AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer)
 SELECT kmer, {decode_expr("kmer", 4)} AS acgt, cnt
 FROM cnts ORDER BY cnt DESC, kmer LIMIT 50"""
 
+    q["q31_exploded_kmers"] = f"""
+WITH {T}, {K4}
+SELECT conv_id, turn_idx, pos, CAST(fwd AS BIGINT) AS fwd, CAST(rc AS BIGINT) AS rc
+FROM kmers"""
+
     return q

@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the scale properties the engine
+promises (pruning through Python boundaries, no join in coverage,
+broadcast for small dims) must stay visible in the plan."""
+
+import pytest
+
+from kmertools_spark.sources import synth_transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(synth_transcripts_pdf(n_convs=10, mean_turns=5))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_counts_prune_through_mapinpandas(spark, tdf):
+    from kmertools_spark.operators import global_kmer_counts
+
+    opt = _opt(global_kmer_counts(tdf, k=4))
+    # only text crosses the Arrow boundary: no role/tool/ts references
+    assert "role#" not in opt
+    assert "tool#" not in opt
+    assert "ts#" not in opt
+
+
+def test_coverage_probe_has_no_join(spark, tdf):
+    from kmertools_spark.operators import coverage_features, global_kmer_counts
+
+    counts = global_kmer_counts(tdf, k=4)
+    plan = _plan(coverage_features(tdf, counts, k=4, bin_size=4, bin_count=8))
+    # the count-table probe is a broadcast-variable lookup, not a join
+    assert "Join" not in plan
+
+
+def test_composition_is_map_side(spark, tdf):
+    from pyspark.sql import functions as F
+
+    from kmertools_spark.functions import composition_vector
+
+    plan = _plan(tdf.select("conv_id", composition_vector(4)("text").alias("v")))
+    assert "Exchange" not in plan  # no shuffle for per-row features
+
+
+def test_slot_join_broadcasts(spark, tdf):
+    import __spark_entry__ as e
+
+    # q07 joins the 136-row slot dim: must be a broadcast hash join
+    tdf.createOrReplaceTempView("__tmp")  # not used; q07 builds its own input
+    from pyspark.sql import functions as F
+
+    from kmertools_spark.functions import composition_vector, slot_kmer_pairs
+
+    slots = spark.createDataFrame(slot_kmer_pairs(4), "slot int, kmer long")
+    vec = tdf.select("conv_id", composition_vector(4)("text").alias("v"))
+    ex = vec.select("conv_id", F.posexplode("v").alias("slot", "freq")).join(
+        F.broadcast(slots), "slot"
+    )
+    assert "BroadcastHashJoin" in _plan(ex)
+
+
+def test_asof_single_partitioning_key(spark, tdf):
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.sources import synth_transcripts_pdf
+
+    probes = spark.createDataFrame(
+        tdf.select("conv_id", "ts").limit(5).toPandas().rename(columns={"ts": "probe_ts"})
+    )
+    plan = _plan(asof_join(tdf, probes))
+    # one window over the union; all exchanges hash on conv_id only
+    assert plan.count("Window") == 1
+    assert "hashpartitioning(conv_id" in plan
