@@ -310,6 +310,20 @@ def q31_exploded_kmers(spark, sf_dir):
     )
 
 
+def q32_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH candidate graph: each doc's
+    cluster = min doc_id reachable through near-dup pairs."""
+    from kmertools_spark.operators import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), bands=4)
+    return dedup_clusters(pairs, docs)
+
+
 # ---------------------------------------------------- rows-only queries
 
 
@@ -349,6 +363,16 @@ def r30_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, emb.where("vec_id < 8"), dim=64, k=5)
 
 
+def r33_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (KMeans inverted lists, n_probe pruning) —
+    approximate by construction, so rows-only; recall vs brute force is
+    asserted in tests/test_dedup_similarity.py."""
+    from kmertools_spark.operators import ann_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return ann_topk_ivf(emb, emb.where("vec_id < 8"), k=5, n_lists=8, n_probe=3)
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -385,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_minimizer_buckets": q24_minimizer_buckets,
         "q25_kmer_decode": q25_kmer_decode,
         "q31_exploded_kmers": q31_exploded_kmers,
+        "q32_dedup_clusters": q32_dedup_clusters,
+        "r33_ann_ivf": r33_ann_ivf,
         "r26_minimizer_runs": r26_minimizer_runs,
         "r27_rolling_session_vec": r27_rolling_session_vec,
         "r28_record_minimisers": r28_record_minimisers,

@@ -5,6 +5,7 @@ from .binning import minimiser_index, record_minimisers
 from .counts import coverage_features, global_kmer_counts
 from .dedup import (
     char_ngrams,
+    dedup_clusters,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -14,6 +15,7 @@ from .dedup import (
 from .rolling import backfill_features, backfill_features_stream, rolling_turn_vectors
 from .sessionize import lag_lead_features, sessionize
 from .similarity import (
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_neardup_pairs,
     cosine_topk,
@@ -29,6 +31,7 @@ __all__ = [
     "coverage_features",
     "global_kmer_counts",
     "char_ngrams",
+    "dedup_clusters",
     "exact_dedup",
     "jaccard_pairs",
     "lsh_candidate_pairs",
@@ -39,6 +42,7 @@ __all__ = [
     "rolling_turn_vectors",
     "lag_lead_features",
     "sessionize",
+    "ann_topk_ivf",
     "ann_topk_lsh",
     "cosine_neardup_pairs",
     "cosine_topk",

@@ -121,6 +121,70 @@ def char_ngrams(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over a
+    candidate-pair graph via iterative min-label propagation.
+
+    Each doc converges to the minimum id reachable through the pair
+    graph (`cluster_id`); keep one doc per cluster downstream. Pure
+    DataFrame joins per round, O(diameter) rounds (near-dup graphs are
+    shallow); the driver loop checkpoints labels each round so lineage
+    stays bounded — the same driver-loop-over-declarative-steps shape
+    as the reference's chunk merge (counter/src/lib.rs:69-90).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).cache()
+    for _ in range(max_iter):
+        # candidate label per node: min over own label and neighbors' labels
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer jumping (path halving): label <- label(label). Turns the
+        # O(diameter) propagation into O(log diameter) rounds.
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        updated = (
+            stepped.join(jump, stepped["label"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("jlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -335,6 +335,35 @@ cnts AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer)
 SELECT kmer, {decode_expr("kmer", 4)} AS acgt, cnt
 FROM cnts ORDER BY cnt DESC, kmer LIMIT 50"""
 
+    q["q32_dedup_clusters"] = f"""
+WITH RECURSIVE sh AS ({shingle_cte(8)}),
+sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
+  FROM sh CROSS JOIN {perm_values()}
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, perm // 4 AS band,
+    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node"""
+
     q["q31_exploded_kmers"] = f"""
 WITH {T}, {K4}
 SELECT conv_id, turn_idx, pos, CAST(fwd AS BIGINT) AS fwd, CAST(rc AS BIGINT) AS rc
