@@ -310,6 +310,25 @@ def q31_exploded_kmers(spark, sf_dir):
     )
 
 
+def q33_role_rollup(spark, sf_dir):
+    """Per-role / per-tool marginals via ROLLUP (SURVEY §2.5 note):
+    grouping-set aggregation over the transcript dimensions."""
+    t = _t(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("role", F.lit("ALL")).alias("role"),
+            F.coalesce("tool", F.lit("ALL")).alias("tool"),
+            "n_turns",
+            "n_chars",
+        )
+    )
+
+
 def q32_dedup_clusters(spark, sf_dir):
     """Connected components over the LSH candidate graph: each doc's
     cluster = min doc_id reachable through near-dup pairs."""
@@ -410,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_kmer_decode": q25_kmer_decode,
         "q31_exploded_kmers": q31_exploded_kmers,
         "q32_dedup_clusters": q32_dedup_clusters,
+        "q33_role_rollup": q33_role_rollup,
         "r33_ann_ivf": r33_ann_ivf,
         "r26_minimizer_runs": r26_minimizer_runs,
         "r27_rolling_session_vec": r27_rolling_session_vec,

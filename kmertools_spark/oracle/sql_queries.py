@@ -364,6 +364,13 @@ reach(node, r) AS (
 SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node"""
 
+    q["q33_role_rollup"] = f"""
+WITH {T}
+SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM t GROUP BY ROLLUP(role, tool)"""
+
     q["q31_exploded_kmers"] = f"""
 WITH {T}, {K4}
 SELECT conv_id, turn_idx, pos, CAST(fwd AS BIGINT) AS fwd, CAST(rc AS BIGINT) AS rc

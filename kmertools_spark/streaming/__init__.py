@@ -1,5 +1,6 @@
 """Structured Streaming surface."""
 
 from .sessions import streaming_kmer_counts, streaming_sessionize
+from .stateful import rolling_vectors_stream
 
-__all__ = ["streaming_kmer_counts", "streaming_sessionize"]
+__all__ = ["streaming_kmer_counts", "streaming_sessionize", "rolling_vectors_stream"]

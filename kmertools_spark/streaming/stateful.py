@@ -1,0 +1,140 @@
+"""Custom stateful streaming operator: incremental rolling composition
+vectors per conversation via applyInPandasWithState.
+
+The streaming twin of operators/rolling (turn-bounded windows): state
+per conv_id holds the trailing (n_turns-1) per-turn count rows plus the
+session carry (last ts, session seq), so each micro-batch emits exactly
+the same (vec, roll_vec, session_seq) the batch engine would — features
+stay point-in-time-correct as new turns arrive.
+
+Constraints documented for scale: state size is O(n_turns * 4^k/2)
+doubles per live conversation — bounded and small (136 slots at k=4).
+Arrival contract: turns of a conversation must arrive in turn_idx order
+ACROSS micro-batches (within a batch they are sorted); out-of-order
+sources need an upstream reorder buffer (watermark + turn_idx gap
+check) before this operator — the batch backfill path is the recovery
+tool when the contract is violated. Idle-conversation state eviction:
+switch timeoutConf to ProcessingTimeTimeout and drop state on timeout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.composition import _pos_map
+from ..oracle.kernels import composition_matrix
+
+_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("session_seq", IntegerType()),
+        StructField("vec", ArrayType(DoubleType())),
+        StructField("roll_vec", ArrayType(DoubleType())),
+    ]
+)
+
+# state: trailing counts flattened + bookkeeping
+_STATE = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType())),  # (<=n_turns-1) * kcount
+        StructField("last_ts", LongType()),
+        StructField("last_seq", IntegerType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def rolling_vectors_stream(
+    stream: DataFrame,
+    k: int = 4,
+    n_turns: int = 3,
+    gap_seconds: float = 1800.0,
+    norm: bool = True,
+) -> DataFrame:
+    """stream(conv_id, turn_idx, text, ts) -> incremental backfill rows.
+
+    Input must carry event-time `ts`; rows are processed in turn_idx
+    order within each micro-batch group, and state carries across
+    batches (same semantics as backfill_features_stream applied to the
+    stream prefix, assuming in-order arrival per conversation).
+    """
+    gap_ms = int(gap_seconds * 1000)
+
+    def fn(key, pdfs, state: GroupState):
+        pos_map, _, kcount = _pos_map(k)
+        if state.exists:
+            tail_flat, last_ts, last_seq, seen = state.get
+            tail = np.asarray(tail_flat, dtype=np.float64).reshape(-1, kcount)
+        else:
+            tail = np.zeros((0, kcount))
+            last_ts, last_seq, seen = None, 0, 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            yield pd.DataFrame(columns=[f.name for f in _OUT.fields])
+            return
+        pdf = pd.concat(frames).sort_values("turn_idx").reset_index(drop=True)
+        counts = composition_matrix(
+            pdf["text"].tolist(), k, canonical=True, norm=False,
+            pos_map=pos_map, kcount=kcount,
+        )
+        m = tail.shape[0]
+        full = np.vstack([tail, counts]) if m else counts
+        prefix = np.vstack([np.zeros((1, kcount)), np.cumsum(full, axis=0)])
+        B = len(pdf)
+        idx = np.arange(B) + m
+        lo = np.maximum(0, idx - (n_turns - 1))
+        roll = prefix[idx + 1] - prefix[lo]
+        per_turn = counts / np.maximum(1.0, counts.sum(1))[:, None] if norm else counts
+        if norm:
+            roll = roll / np.maximum(1.0, roll.sum(1))[:, None]
+        # normalize to epoch millis regardless of pandas datetime unit
+        ts = pdf["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        prev = np.empty(B, dtype=np.int64)
+        prev[1:] = ts[:-1]
+        prev[0] = last_ts if last_ts is not None and seen > 0 else ts[0]
+        newsess = (ts - prev > gap_ms).astype(np.int64)
+        if seen == 0:
+            newsess[0] = 0
+        seq = last_seq + np.cumsum(newsess)
+        take = min(n_turns - 1, full.shape[0])
+        state.update(
+            (
+                full[full.shape[0] - take :].ravel().tolist(),
+                int(ts[-1]),
+                int(seq[-1]),
+                int(seen + B),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "session_seq": seq.astype("int32"),
+                "vec": list(per_turn),
+                "roll_vec": list(roll),
+            }
+        )
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_OUT,
+            stateStructType=_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
