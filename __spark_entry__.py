@@ -310,6 +310,25 @@ def q31_exploded_kmers(spark, sf_dir):
     )
 
 
+def q34_asof_vector(spark, sf_dir):
+    """The north-star operation end-to-end: attach the latest
+    leakage-free composition VECTOR to each probe, exploded to
+    (kmer, freq) rows so DuckDB can verify every value."""
+    from kmertools_spark.functions import composition_vector
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.sources import probes_df
+
+    t = _t(spark, sf_dir).withColumn("vec", composition_vector(4)("text"))
+    p = probes_df(spark, sf_dir).distinct()
+    a = asof_join(t, p, value_cols=("vec",))
+    ex = a.select(
+        "conv_id", "probe_ts", F.posexplode("asof_vec").alias("slot", "freq")
+    ).where(F.col("freq") > 0)
+    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
+        "conv_id", "probe_ts", "kmer", "freq"
+    )
+
+
 def q33_role_rollup(spark, sf_dir):
     """Per-role / per-tool marginals via ROLLUP (SURVEY §2.5 note):
     grouping-set aggregation over the transcript dimensions."""
@@ -430,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_exploded_kmers": q31_exploded_kmers,
         "q32_dedup_clusters": q32_dedup_clusters,
         "q33_role_rollup": q33_role_rollup,
+        "q34_asof_vector": q34_asof_vector,
         "r33_ann_ivf": r33_ann_ivf,
         "r26_minimizer_runs": r26_minimizer_runs,
         "r27_rolling_session_vec": r27_rolling_session_vec,

@@ -364,6 +364,25 @@ reach(node, r) AS (
 SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node"""
 
+    q["q34_asof_vector"] = f"""
+WITH {T}, {P}, {K4},
+picked AS (
+  SELECT p.conv_id, p.probe_ts, t.turn_idx,
+    row_number() OVER (PARTITION BY p.conv_id, p.probe_ts
+                       ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM p JOIN t ON t.conv_id = p.conv_id AND t.ts < p.probe_ts
+),
+pasof AS (SELECT conv_id, probe_ts, turn_idx FROM picked WHERE rn = 1),
+ck AS (SELECT conv_id, turn_idx, kmer, CAST(count(*) AS DOUBLE) AS cnt
+       FROM kmers GROUP BY conv_id, turn_idx, kmer),
+cv AS (
+  SELECT conv_id, turn_idx, kmer,
+    cnt / greatest(1.0, sum(cnt) OVER (PARTITION BY conv_id, turn_idx)) AS freq
+  FROM ck
+)
+SELECT a.conv_id, a.probe_ts, cv.kmer, cv.freq
+FROM pasof a JOIN cv ON cv.conv_id = a.conv_id AND cv.turn_idx = a.turn_idx"""
+
     q["q33_role_rollup"] = f"""
 WITH {T}
 SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
