@@ -103,12 +103,7 @@ def q07_composition(spark, sf_dir):
     vec = t.select(
         "conv_id", "turn_idx", composition_vector(4)("text").alias("v")
     )
-    ex = vec.select(
-        "conv_id", "turn_idx", F.posexplode("v").alias("slot", "freq")
-    ).where(F.col("freq") > 0)
-    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
-        "conv_id", "turn_idx", "kmer", "freq"
-    )
+    return _explode_slots(spark, vec, "v", ["conv_id", "turn_idx"], "freq")
 
 
 def q08_composition_raw(spark, sf_dir):
@@ -156,10 +151,7 @@ def q11_rolling_turns(spark, sf_dir):
 
     t = _t(spark, sf_dir)
     r = rolling_turn_vectors(t, k=4, mode="turns", n_turns=3, norm=False, chunk=16)
-    ex = r.select(
-        "conv_id", "turn_idx", F.posexplode("vec").alias("slot", "cd")
-    ).where(F.col("cd") > 0)
-    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
+    return _explode_slots(spark, r, "vec", ["conv_id", "turn_idx"], "cd").select(
         "conv_id", "turn_idx", "kmer", F.col("cd").cast("long").alias("cnt")
     )
 
@@ -310,6 +302,17 @@ def q31_exploded_kmers(spark, sf_dir):
     )
 
 
+def _explode_slots(spark, df, vec_col, keys, val_alias, k: int = 4):
+    """posexplode a composition vector to non-zero (kmer, value) rows
+    through the broadcast slot dimension (shared by q07/q11/q34)."""
+    ex = df.select(*keys, F.posexplode(vec_col).alias("slot", val_alias)).where(
+        F.col(val_alias) > 0
+    )
+    return ex.join(F.broadcast(_slots(spark, k)), "slot").select(
+        *keys, "kmer", val_alias
+    )
+
+
 def q34_asof_vector(spark, sf_dir):
     """The north-star operation end-to-end: attach the latest
     leakage-free composition VECTOR to each probe, exploded to
@@ -321,12 +324,7 @@ def q34_asof_vector(spark, sf_dir):
     t = _t(spark, sf_dir).withColumn("vec", composition_vector(4)("text"))
     p = probes_df(spark, sf_dir).distinct()
     a = asof_join(t, p, value_cols=("vec",))
-    ex = a.select(
-        "conv_id", "probe_ts", F.posexplode("asof_vec").alias("slot", "freq")
-    ).where(F.col("freq") > 0)
-    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
-        "conv_id", "probe_ts", "kmer", "freq"
-    )
+    return _explode_slots(spark, a, "asof_vec", ["conv_id", "probe_ts"], "freq")
 
 
 def q33_role_rollup(spark, sf_dir):
@@ -338,10 +336,13 @@ def q33_role_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.length("text")).cast("long").alias("n_chars"),
+            # disambiguates rolled-up subtotals from genuine NULL tool rows
+            (F.grouping("role") * 2 + F.grouping("tool")).cast("int").alias("lvl"),
         )
         .select(
             F.coalesce("role", F.lit("ALL")).alias("role"),
             F.coalesce("tool", F.lit("ALL")).alias("tool"),
+            "lvl",
             "n_turns",
             "n_chars",
         )

@@ -35,34 +35,46 @@ def asof_join(
     Returns one row per probe: (on, probe_ts, asof_<value_col>...),
     null-valued when no feature row precedes the probe.
     """
+    # the whole candidate row travels as ONE struct so the probe picks a
+    # consistent latest row (no torn columns when a value is null), and
+    # ties at equal ts break deterministically by turn_idx (largest wins
+    # — matching ORDER BY ts DESC, turn_idx DESC semantics)
+    ord_col = (
+        F.col("turn_idx").cast("long")
+        if "turn_idx" in features.columns
+        else F.lit(0).cast("long")
+    )
+    payload = F.struct(*[F.col(c).alias(f"asof_{c}") for c in value_cols])
     ev = features.select(
         F.col(on),
         F.col(ts_col).alias("__t"),
         F.lit(1).alias(_EV),
-        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        ord_col.alias("__ord"),
+        payload.alias("__payload"),
     )
     pr = probes.select(
         F.col(on),
         F.col(probe_ts_col).alias("__t"),
         F.lit(0).alias(_EV),
-        *[F.lit(None).cast(features.schema[c].dataType).alias(f"asof_{c}") for c in value_cols],
+        F.lit(-1).cast("long").alias("__ord"),
+        F.lit(None).cast(ev.schema["__payload"].dataType).alias("__payload"),
     )
     u = ev.unionByName(pr)
     # probes (0) sort before events (1) at equal ts -> strict '<'
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", _EV)
+        .orderBy("__t", _EV, "__ord")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    picked = [
-        F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-        for c in value_cols
-    ]
+    picked = F.last("__payload", ignorenulls=True).over(w).alias("__picked")
     return (
-        u.select(on, "__t", _EV, *picked)
+        u.select(on, "__t", _EV, picked)
         .where(F.col(_EV) == 0)
-        .drop(_EV)
-        .withColumnRenamed("__t", probe_ts_col)
+        .select(
+            on,
+            F.col("__t").alias(probe_ts_col),
+            *[F.col(f"__picked.asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
     )
 
 

@@ -386,6 +386,7 @@ FROM pasof a JOIN cv ON cv.conv_id = a.conv_id AND cv.turn_idx = a.turn_idx"""
     q["q33_role_rollup"] = f"""
 WITH {T}
 SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
+  CAST(GROUPING(role) * 2 + GROUPING(tool) AS INT) AS lvl,
   CAST(count(*) AS BIGINT) AS n_turns,
   CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM t GROUP BY ROLLUP(role, tool)"""

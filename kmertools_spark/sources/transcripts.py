@@ -88,9 +88,21 @@ WHERE MOD(event_id, 37) = 0
 
 
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver's parquet tables as temp views."""
+    """Register the driver's parquet tables as temp views (idempotent
+    per (session, sf_dir)) and pin the session timezone to UTC.
+
+    The UTC pin makes TIMESTAMP_NTZ -> TIMESTAMP casts a pure
+    reinterpretation (operators/timeutil.py), so epoch-millis math
+    matches DuckDB regardless of the host timezone of the session the
+    driver hands us.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = f"__kt_registered_{abs(hash(sf_dir))}"
+    if spark.conf.get(f"spark.{tag}", None) == sf_dir:
+        return
     for t in BASE_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark.conf.set(f"spark.{tag}", sf_dir)
 
 
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,6 +113,33 @@ def test_asof_join_strict_leakage_semantics(spark, tdf, impl):
             assert int(r.asof_turn_idx) == e, (r.conv_id, r.probe_ts)
 
 
+def test_asof_equal_ts_tiebreak_and_no_torn_rows(spark):
+    """Equal-timestamp feature rows must resolve to the LARGEST turn_idx
+    (ORDER BY ts DESC, turn_idx DESC oracle semantics), and all value
+    columns must come from that same row (no torn rows when the latest
+    row carries a null)."""
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c1"],
+                "turn_idx": [2, 5, 1],
+                "text": ["AAAA", "CCCC", "GGGG"],
+                "tool": ["x", None, "y"],
+                "ts": [ts, ts, ts - pd.Timedelta(hours=1)],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c1"], "probe_ts": [ts + pd.Timedelta(hours=1)]})
+    )
+    for impl in (asof_join, asof_join_broadcast):
+        row = impl(feats, probes, value_cols=("turn_idx", "text", "tool")).first()
+        assert row.asof_turn_idx == 5, impl.__name__
+        assert row.asof_text == "CCCC", impl.__name__
+        assert row.asof_tool is None, impl.__name__  # whole-row, not torn
+
+
 def test_asof_zero_leakage_property(spark, tdf):
     """Perturbing any row at ts >= probe_ts must not change results."""
     df, pdf = tdf
