@@ -1,6 +1,7 @@
 """Input sources: shared transcript derivation, synthetic generator,
-and multimodal binary-column plumbing."""
+partitioned feature-table IO, and multimodal binary-column plumbing."""
 
+from .io import read_feature_table, write_feature_table
 from .transcripts import (
     BASE_TABLES,
     PROBES_SQL,
@@ -13,6 +14,8 @@ from .transcripts import (
 )
 
 __all__ = [
+    "read_feature_table",
+    "write_feature_table",
     "BASE_TABLES",
     "PROBES_SQL",
     "TRANSCRIPTS_SQL",

@@ -46,13 +46,22 @@ _OUT = StructType(
     ]
 )
 
-# state: trailing counts flattened + bookkeeping
+# state: trailing counts flattened + bookkeeping (+ optional reorder buffer)
+_PENDING = StructType(
+    [
+        StructField("turn_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("text", StringType()),
+    ]
+)
 _STATE = StructType(
     [
         StructField("tail", ArrayType(DoubleType())),  # (<=n_turns-1) * kcount
         StructField("last_ts", LongType()),
         StructField("last_seq", IntegerType()),
         StructField("seen", LongType()),
+        StructField("expected_next", LongType()),
+        StructField("pending", ArrayType(_PENDING)),
     ]
 )
 
@@ -63,29 +72,95 @@ def rolling_vectors_stream(
     n_turns: int = 3,
     gap_seconds: float = 1800.0,
     norm: bool = True,
+    reorder: bool = False,
+    max_pending: int = 1024,
 ) -> DataFrame:
     """stream(conv_id, turn_idx, text, ts) -> incremental backfill rows.
 
-    Input must carry event-time `ts`; rows are processed in turn_idx
-    order within each micro-batch group, and state carries across
-    batches (same semantics as backfill_features_stream applied to the
-    stream prefix, assuming in-order arrival per conversation).
+    Input must carry event-time `ts`. With ``reorder=False`` rows must
+    arrive in turn_idx order across micro-batches (the strict contract).
+    With ``reorder=True`` a bounded per-conversation reorder buffer
+    holds out-of-order turns in state and emits the maximal contiguous
+    turn_idx prefix each batch; if the buffer exceeds ``max_pending``
+    rows the oldest gap is abandoned (expected_next jumps to the
+    smallest buffered turn) so memory stays bounded — the batch
+    backfill remains the recovery tool for dropped gaps.
     """
     gap_ms = int(gap_seconds * 1000)
 
     def fn(key, pdfs, state: GroupState):
         pos_map, _, kcount = _pos_map(k)
         if state.exists:
-            tail_flat, last_ts, last_seq, seen = state.get
+            tail_flat, last_ts, last_seq, seen, expected_next, pending = state.get
             tail = np.asarray(tail_flat, dtype=np.float64).reshape(-1, kcount)
+            pending = list(pending or [])
         else:
             tail = np.zeros((0, kcount))
             last_ts, last_seq, seen = None, 0, 0
+            expected_next, pending = -1, []
         frames = [p for p in pdfs if len(p)]
         if not frames:
             yield pd.DataFrame(columns=[f.name for f in _OUT.fields])
             return
         pdf = pd.concat(frames).sort_values("turn_idx").reset_index(drop=True)
+        if reorder:
+            incoming = list(
+                zip(
+                    pdf["turn_idx"].astype(int),
+                    pdf["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64),
+                    pdf["text"].fillna(""),
+                )
+            )
+            pool = sorted(
+                pending + [(int(a), int(b), str(c)) for a, b, c in incoming]
+            )
+            if expected_next < 0:
+                # schema invariant: turn_idx is 0-based dense per conv
+                expected_next = 0
+            emit, hold = [], []
+            nxt = expected_next
+            for row in pool:
+                if row[0] == nxt:
+                    emit.append(row)
+                    nxt += 1
+                elif row[0] < nxt:
+                    continue  # duplicate / already emitted: drop
+                else:
+                    hold.append(row)
+            if len(hold) > max_pending:
+                # abandon the oldest gap: jump to the smallest buffered turn
+                while hold and len(hold) > max_pending:
+                    nxt = hold[0][0]
+                    still = []
+                    for row in hold:
+                        if row[0] == nxt:
+                            emit.append(row)
+                            nxt += 1
+                        else:
+                            still.append(row)
+                    hold = still
+            expected_next = nxt
+            if not emit:
+                state.update(
+                    (
+                        tail.ravel().tolist(),
+                        int(last_ts or 0),
+                        int(last_seq),
+                        int(seen),
+                        int(expected_next),
+                        hold,
+                    )
+                )
+                yield pd.DataFrame(columns=[f.name for f in _OUT.fields])
+                return
+            pdf = pd.DataFrame(
+                {
+                    "turn_idx": [r[0] for r in emit],
+                    "ts": pd.to_datetime([r[1] for r in emit], unit="ms"),
+                    "text": [r[2] for r in emit],
+                }
+            )
+            pending = hold
         counts = composition_matrix(
             pdf["text"].tolist(), k, canonical=True, norm=False,
             pos_map=pos_map, kcount=kcount,
@@ -116,6 +191,8 @@ def rolling_vectors_stream(
                 int(ts[-1]),
                 int(seq[-1]),
                 int(seen + B),
+                int(expected_next),
+                pending if reorder else [],
             )
         )
         yield pd.DataFrame(

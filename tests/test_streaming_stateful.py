@@ -66,3 +66,54 @@ def test_stateful_rolling_matches_batch(spark, tmp_path):
     assert np.allclose(
         np.vstack(got["roll_vec"]), np.vstack(exp["roll_vec"]), rtol=1e-9
     )
+
+
+def test_stateful_reorder_buffer_out_of_order_batches(spark, tmp_path):
+    """reorder=True: the LATER half of each conversation arrives FIRST;
+    the buffer holds it until the prefix arrives, then output equals
+    the batch engine exactly."""
+    pdf = synth_transcripts_pdf(n_convs=5, mean_turns=10, seed=31)
+    df = spark.createDataFrame(pdf)
+    src = str(tmp_path / "src")
+    # reversed arrival: b0 = turns >= 5, b1 = turns < 5
+    df.where("turn_idx >= 5").orderBy("conv_id", "turn_idx").coalesce(1).write.parquet(f"{src}/b0")
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/b*")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            rolling_vectors_stream(stream, k=4, n_turns=3, reorder=True)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    try:
+        held = spark.read.parquet(sink).count()
+    except Exception:
+        held = 0  # empty streaming sink (only metadata)
+    df.where("turn_idx < 5").orderBy("conv_id", "turn_idx").coalesce(1).write.parquet(f"{src}/b1")
+    run_once()
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        backfill_features_stream(df, k=4, n_turns=3)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert held == 0  # nothing emitted while the prefix was missing
+    assert len(got) == len(exp)
+    assert (got["session_seq"].to_numpy() == exp["session_seq"].to_numpy()).all()
+    assert np.allclose(np.vstack(got["roll_vec"]), np.vstack(exp["roll_vec"]), rtol=1e-9)
