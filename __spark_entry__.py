@@ -232,9 +232,15 @@ def q18_simhash(spark, sf_dir):
 
 
 def q19_jaccard(spark, sf_dir):
+    """All-pairs n-gram Jaccard is quadratic by design (it is the LSH
+    verification stage); the gate bounds it to a deterministic doc
+    subset so the check stays tractable at any scale factor (at the
+    driver's sf0.01 the bound is a no-op: 500 docs < 1000)."""
     from kmertools_spark.operators import jaccard_pairs
 
-    return jaccard_pairs(_docs(spark, sf_dir), n=4, threshold=0.4)
+    return jaccard_pairs(
+        _docs(spark, sf_dir).where("doc_id < 1000"), n=4, threshold=0.4
+    )
 
 
 def q20_ann_topk(spark, sf_dir):
@@ -245,9 +251,12 @@ def q20_ann_topk(spark, sf_dir):
 
 
 def q21_cosine_neardup(spark, sf_dir):
+    """All-pairs cosine is quadratic; bounded like q19 (no-op at sf0.01)."""
     from kmertools_spark.operators import cosine_neardup_pairs
 
-    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.2)
+    return cosine_neardup_pairs(
+        _emb(spark, sf_dir).where("vec_id < 1000"), threshold=0.2
+    )
 
 
 def q22_text_features(spark, sf_dir):

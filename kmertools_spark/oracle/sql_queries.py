@@ -213,7 +213,7 @@ WITH g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
   FROM (SELECT doc_id, text,
                unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
-        FROM documents) _
+        FROM documents WHERE doc_id < 1000) _
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
 inter AS (
@@ -255,10 +255,11 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5"""
 
     q["q21_cosine_neardup"] = """
-WITH pairs AS (
+WITH emb AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          a.embedding AS qe, b.embedding AS ce
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 ),
 expl AS (
   SELECT id_a, id_b,
