@@ -117,6 +117,14 @@ class KmerMinimiserGenerator:
         return iter(self._items)
 
 
+def run_cli(args: list[str]) -> int:
+    """The whole CLI exposed through the Python module, mirroring
+    pykmertools.run_cli (pip/src/lib.rs:11-18)."""
+    from .cli import main
+
+    return main(args)
+
+
 class utils:  # noqa: N801 — module-style namespace, matches pykmertools.utils
     @staticmethod
     def to_acgt(kmer: int, k: int) -> str:

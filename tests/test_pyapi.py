@@ -86,6 +86,15 @@ def test_kmers():
         assert ktutils.to_acgt(fmer, 3) == acgt
 
 
+def test_run_cli(spark, tmp_path):
+    # pip/src/lib.rs:11-18: the full CLI through the python module
+    out = str(tmp_path / "cli.kmers")
+    rc = kt.run_cli(["comp", "oligo", "-i", f"{REF}/reads.fq", "-o", out, "-k", "4"])
+    assert rc == 0
+    if os.path.isdir(REF):
+        assert open(out, "rb").read() == open(f"{REF}/expected_fa.kmers", "rb").read()
+
+
 def test_utils():
     # reference tests/test_utils.py:4-15
     assert ktutils.to_acgt(111, 5) == "ACGTT"
