@@ -372,6 +372,26 @@ def q32_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, docs)
 
 
+def q35_session_vectors(spark, sf_dir):
+    """Session-to-date composition counts, exploded — the vector form of
+    q14 with a full SQL twin (session CTE + windowed count join)."""
+    from kmertools_spark.operators import rolling_turn_vectors
+
+    t = _t(spark, sf_dir)
+    r = rolling_turn_vectors(t, k=4, mode="session", norm=False, chunk=None)
+    return _explode_slots(spark, r, "vec", ["conv_id", "turn_idx"], "cd").select(
+        "conv_id", "turn_idx", "kmer", F.col("cd").cast("long").alias("cnt")
+    )
+
+
+def q36_kmer_counts_k5(spark, sf_dir):
+    """Global counts at k=5 — the whole stack (tokenizer, canonical map,
+    SQL twin) parameterized away from the default k."""
+    from kmertools_spark.operators import global_kmer_counts
+
+    return global_kmer_counts(_t(spark, sf_dir), k=5)
+
+
 # ---------------------------------------------------- rows-only queries
 
 
@@ -460,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_dedup_clusters": q32_dedup_clusters,
         "q33_role_rollup": q33_role_rollup,
         "q34_asof_vector": q34_asof_vector,
+        "q35_session_vectors": q35_session_vectors,
+        "q36_kmer_counts_k5": q36_kmer_counts_k5,
         "r33_ann_ivf": r33_ann_ivf,
         "r26_minimizer_runs": r26_minimizer_runs,
         "r27_rolling_session_vec": r27_rolling_session_vec,

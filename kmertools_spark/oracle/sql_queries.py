@@ -392,6 +392,23 @@ SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
   CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM t GROUP BY ROLLUP(role, tool)"""
 
+    q["q35_session_vectors"] = f"""
+WITH {T}, {SESS}, {K4},
+ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
+       FROM kmers GROUP BY conv_id, turn_idx, kmer)
+SELECT s1.conv_id, s1.turn_idx, c2.kmer, CAST(sum(c2.c) AS BIGINT) AS cnt
+FROM sess s1
+JOIN sess s2 ON s2.conv_id = s1.conv_id
+  AND s2.session_seq = s1.session_seq AND s2.turn_idx <= s1.turn_idx
+JOIN ck c2 ON c2.conv_id = s2.conv_id AND c2.turn_idx = s2.turn_idx
+GROUP BY s1.conv_id, s1.turn_idx, c2.kmer"""
+
+    q["q36_kmer_counts_k5"] = f"""
+WITH {T},
+grams AS ({gram_cte(5, 't')}),
+kmers AS ({kmer_cte(5)})
+SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer"""
+
     q["q31_exploded_kmers"] = f"""
 WITH {T}, {K4}
 SELECT conv_id, turn_idx, pos, CAST(fwd AS BIGINT) AS fwd, CAST(rc AS BIGINT) AS rc
