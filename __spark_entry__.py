@@ -372,6 +372,20 @@ def q32_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, docs)
 
 
+def q37_coverage_norm(spark, sf_dir):
+    """A6's L1-normalized histogram path (q10 checks the raw counts)."""
+    from kmertools_spark.operators import coverage_features, global_kmer_counts
+
+    t = _t(spark, sf_dir)
+    counts = global_kmer_counts(t, k=4)
+    cov = coverage_features(t, counts, k=4, bin_size=4, bin_count=8, norm=True)
+    return (
+        cov.select("conv_id", "turn_idx", F.posexplode("cov_vec").alias("bin", "freq"))
+        .where(F.col("freq") > 0)
+        .select("conv_id", "turn_idx", F.col("bin").cast("long").alias("bin"), "freq")
+    )
+
+
 def q35_session_vectors(spark, sf_dir):
     """Session-to-date composition counts, exploded — the vector form of
     q14 with a full SQL twin (session CTE + windowed count join)."""
@@ -482,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_asof_vector": q34_asof_vector,
         "q35_session_vectors": q35_session_vectors,
         "q36_kmer_counts_k5": q36_kmer_counts_k5,
+        "q37_coverage_norm": q37_coverage_norm,
         "r33_ann_ivf": r33_ann_ivf,
         "r26_minimizer_runs": r26_minimizer_runs,
         "r27_rolling_session_vec": r27_rolling_session_vec,

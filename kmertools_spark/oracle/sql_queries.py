@@ -392,6 +392,18 @@ SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
   CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM t GROUP BY ROLLUP(role, tool)"""
 
+    q["q37_coverage_norm"] = f"""
+WITH {T}, {K4},
+gcnt AS (SELECT kmer, count(*) AS c FROM kmers GROUP BY kmer),
+occ AS (SELECT k.conv_id, k.turn_idx,
+          least(CAST(g.c // 4 AS BIGINT), 7) AS bin
+        FROM kmers k JOIN gcnt g USING (kmer)),
+hist AS (SELECT conv_id, turn_idx, bin, CAST(count(*) AS DOUBLE) AS n
+         FROM occ GROUP BY conv_id, turn_idx, bin)
+SELECT conv_id, turn_idx, bin,
+  n / greatest(1.0, sum(n) OVER (PARTITION BY conv_id, turn_idx)) AS freq
+FROM hist"""
+
     q["q35_session_vectors"] = f"""
 WITH {T}, {SESS}, {K4},
 ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
