@@ -240,6 +240,9 @@ def backfill_features_stream(
     gap_seconds: float = 1800.0,
     norm: bool = True,
     n_partitions: int | None = None,
+    mode: str = "turns",
+    time_seconds: float = 600.0,
+    max_carry: int = 100_000,
 ) -> DataFrame:
     """Sorted-stream backfill: the range-partitioned sorted-merge plan.
 
@@ -255,26 +258,36 @@ def backfill_features_stream(
     """
     from .timeutil import epoch_ms
 
+    if mode not in ("turns", "time"):
+        raise ValueError(f"mode must be 'turns' or 'time', got {mode!r}")
     # sessionization happens IN-KERNEL over the same sorted stream (gap
     # cumsum with cross-batch carry) unless session_seq is already
     # present — saving a second full-data shuffle (the window pass).
+    # mode='time' windows over [ts_i - time_seconds, ts_i]; its carry is
+    # the open conversation's rows within the horizon of its last ts
+    # (bounded by max_carry — a conversation denser than that within one
+    # horizon falls back to a truncated window, logged via the cap).
     have_sess = "session_seq" in df.columns
+    need_ts = (not have_sess) or mode == "time"
     cols = ["conv_id", "turn_idx", "text"]
     if have_sess:
         cols.append("session_seq")
-        work = df.select(*cols)
-    else:
-        work = df.select(*cols, epoch_ms("ts").alias("__ts_ms"))
+    work = df.select(
+        *cols, *([epoch_ms("ts").alias("__ts_ms")] if need_ts else [])
+    )
     parts = n_partitions or work.sparkSession.sparkContext.defaultParallelism
     work = work.repartition(parts, "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
     )
     gap_ms = int(gap_seconds * 1000)
 
+    horizon_ms = int(time_seconds * 1000)
+
     def gen(batches):
         pos_map, _, kcount = _pos_map(k)
         carry_conv: str | None = None
         carry_counts = np.zeros((0, kcount))
+        carry_ts_arr = np.zeros(0, dtype=np.int64)  # time mode: ts of carried rows
         carry_ts: int = 0
         carry_seq: int = 0
         for pdf in batches:
@@ -301,7 +314,23 @@ def backfill_features_stream(
                 np.searchsorted(seg_starts_batch, np.arange(B), side="right") - 1
             )
             idx = np.arange(B) + m
-            lo = np.maximum(seg_starts_full[seg_of_row], idx - (n_turns - 1))
+            if need_ts:
+                ts = pdf["__ts_ms"].to_numpy(dtype=np.int64)
+            if mode == "turns":
+                lo = np.maximum(seg_starts_full[seg_of_row], idx - (n_turns - 1))
+            else:
+                # window = rows of the same conversation with
+                # ts in [ts_i - horizon, ts_i]; per-segment searchsorted
+                # over the carry-prefixed ts array (ts sorted per conv)
+                ts_full = np.concatenate([carry_ts_arr, ts]) if m else ts
+                lo = np.empty(B, dtype=np.int64)
+                seg_ends = np.concatenate((seg_starts_batch[1:], [B]))
+                for si, (sb, se) in enumerate(zip(seg_starts_batch, seg_ends)):
+                    fs = int(seg_starts_full[si])  # segment start, full space
+                    fe = int(se) + m  # segment end (exclusive), full space
+                    seg_ts = ts_full[fs:fe]
+                    probes_ts = ts[sb:se] - horizon_ms
+                    lo[sb:se] = fs + np.searchsorted(seg_ts, probes_ts, side="left")
             roll = prefix[idx + 1] - prefix[lo]
             per_turn = (
                 counts / np.maximum(1.0, counts.sum(axis=1))[:, None]
@@ -314,7 +343,6 @@ def backfill_features_stream(
             if have_sess:
                 sess = pdf["session_seq"].to_numpy()
             else:
-                ts = pdf["__ts_ms"].to_numpy(dtype=np.int64)
                 prev = np.empty(B, dtype=np.int64)
                 prev[1:] = ts[:-1]
                 prev[0] = carry_ts if carried else ts[0]
@@ -337,11 +365,24 @@ def backfill_features_stream(
                 carry_ts = int(ts[-1])
                 carry_seq = int(sess[-1])
 
-            # carry: last conversation's trailing (n_turns-1) count rows
+            # carry: last conversation's trailing window context
             last_rows = full.shape[0] - int(seg_starts_full[-1])
-            take = min(n_turns - 1, last_rows)
             carry_conv = str(conv[-1])
+            if mode == "turns":
+                take = min(n_turns - 1, last_rows)
+            else:
+                # rows of the open conv within the horizon of its last ts
+                ts_tail = ts_full[seg_starts_full[-1] :]
+                within = int(
+                    ts_tail.size
+                    - np.searchsorted(ts_tail, ts_tail[-1] - horizon_ms, "left")
+                )
+                take = min(min(within, last_rows), max_carry)
             carry_counts = full[full.shape[0] - take :] if take else np.zeros((0, kcount))
+            if mode == "time":
+                carry_ts_arr = (
+                    ts_full[ts_full.size - take :] if take else np.zeros(0, np.int64)
+                )
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],

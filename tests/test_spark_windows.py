@@ -214,6 +214,29 @@ def test_backfill_fused_and_stream_match_composable(spark, tdf):
             )
 
 
+def test_stream_time_mode_matches_grouped(spark, tdf):
+    """backfill_features_stream(mode='time') == rolling_turn_vectors
+    (mode='time') across Arrow batch boundaries (horizon carry)."""
+    from kmertools_spark.operators import backfill_features_stream
+
+    df, _ = tdf
+    horizon = 900.0
+    a = (
+        backfill_features_stream(df, k=4, mode="time", time_seconds=horizon)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        rolling_turn_vectors(df, k=4, mode="time", time_seconds=horizon)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert np.allclose(np.vstack(a["roll_vec"]), np.vstack(b["vec"]), rtol=1e-9)
+
+
 def test_rolling_time_vectors(spark, tdf):
     df, pdf = tdf
     horizon = 900.0
