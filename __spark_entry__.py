@@ -409,33 +409,61 @@ def q36_kmer_counts_k5(spark, sf_dir):
 # ---------------------------------------------------- rows-only queries
 
 
-def r26_minimizer_runs(spark, sf_dir):
-    """Full windowed minimizer-run state machine (W1) — not SQL-
-    expressible; parity is enforced in pytest vs the numpy oracle and
-    the reference span tables (tests/test_oracle_minimiser.py)."""
+def q26_minimizer_runs(spark, sf_dir):
+    """Full windowed minimizer-run state machine (W1) at (w=8, m=5);
+    oracle = pure-SQL sliding-min RLE (oracle/sql.minimiser_spans_ctes)
+    plus the reference span tables in pytest (test_oracle_minimiser)."""
     from kmertools_spark.functions import exploded_minimisers
 
     return exploded_minimisers(_t(spark, sf_dir), w=8, m=5)
 
 
-def r27_rolling_session_vec(spark, sf_dir):
+def q27_rolling_session_vec(spark, sf_dir):
+    """Session-to-date L1-normalized composition vectors, exploded to
+    scalar (kmer, freq) rows (the normalized twin of q35)."""
     from kmertools_spark.operators import rolling_turn_vectors
 
-    return rolling_turn_vectors(_t(spark, sf_dir), k=4, mode="session", chunk=None)
+    r = rolling_turn_vectors(_t(spark, sf_dir), k=4, mode="session", chunk=None)
+    return _explode_slots(spark, r, "vec", ["conv_id", "turn_idx"], "freq")
 
 
-def r28_record_minimisers(spark, sf_dir):
+def q28_record_minimisers(spark, sf_dir):
+    """s2m per-record minimizer runs (w=12, m=4), exploded to scalar
+    rows with the record-local run ordinal (exercises the sort_array
+    record grouping, then flattens for the gate's canonicalizer)."""
     from kmertools_spark.operators import record_minimisers
 
-    return record_minimisers(_t(spark, sf_dir), w=12, m=4)
+    r = record_minimisers(_t(spark, sf_dir), w=12, m=4)
+    return r.select(
+        "conv_id", "turn_idx", F.posexplode("runs").alias("run_seq", "run")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("run_seq").cast("int").alias("run_seq"),
+        F.col("run.win_start").alias("win_start"),
+        F.col("run.win_end").alias("win_end"),
+        F.col("run.mmer").alias("mmer"),
+    )
 
 
-def r29_cgr(spark, sf_dir):
+def q29_cgr(spark, sf_dir):
+    """CGR trajectory exploded to one (pos, x, y) row per character;
+    the DuckDB twin replays the same recurrence in a recursive CTE with
+    identical FP op order, so the doubles match bit-for-bit."""
     from kmertools_spark.functions import cgr_points
 
     t = _t(spark, sf_dir)
     clean = F.regexp_replace("text", "[^ACGTUacgtu]", "")
-    return t.select("conv_id", "turn_idx", cgr_points(1.0)(clean).alias("cgr"))
+    pts = t.select("conv_id", "turn_idx", cgr_points(1.0)(clean).alias("cgr"))
+    return pts.select(
+        "conv_id", "turn_idx", F.posexplode("cgr").alias("pos", "pt")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("pt.x").alias("x"),
+        F.col("pt.y").alias("y"),
+    )
 
 
 def r30_ann_lsh(spark, sf_dir):
@@ -497,12 +525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_session_vectors": q35_session_vectors,
         "q36_kmer_counts_k5": q36_kmer_counts_k5,
         "q37_coverage_norm": q37_coverage_norm,
-        "r33_ann_ivf": r33_ann_ivf,
-        "r26_minimizer_runs": r26_minimizer_runs,
-        "r27_rolling_session_vec": r27_rolling_session_vec,
-        "r28_record_minimisers": r28_record_minimisers,
-        "r29_cgr": r29_cgr,
+        "q26_minimizer_runs": q26_minimizer_runs,
+        "q27_rolling_session_vec": q27_rolling_session_vec,
+        "q28_record_minimisers": q28_record_minimisers,
+        "q29_cgr": q29_cgr,
         "r30_ann_lsh": r30_ann_lsh,
+        "r33_ann_ivf": r33_ann_ivf,
     }
 
 

@@ -88,6 +88,95 @@ def shingle_cte(width: int, src: str = "documents", id_col: str = "doc_id") -> s
 """
 
 
+def minimiser_spans_ctes(w: int, m: int) -> str:
+    """CTE chain deriving the windowed (w>0) minimizer runs in pure SQL.
+
+    SQL twin of oracle.kernels.minimiser_runs/_segment_runs (itself a
+    re-derivation of kmer/src/minimiser.rs:58-176), with every quirk:
+    value-RLE of the sliding-window minimum per OOV-free segment, run
+    spans anchored at segment start / change char / OOV flush / text
+    end, the lost-final-run rule (change at the very last char), and the
+    never-filled-window sentinel (-1) at end of text.
+
+    Requires ``t`` (transcripts), ``kmers`` (kmer_cte at k=m), and
+    ``ch``/``st`` (per-char codes + stats) CTEs in scope. Emits a final
+    ``spans`` CTE: (conv_id, turn_idx, mmer, win_start, win_end).
+    """
+    W = w - m + 1
+    return f"""
+chseg AS (
+  -- 0-based [s0, s1) bounds of the OOV-free segment containing char i
+  SELECT c.conv_id, c.turn_idx, c.i, s.len,
+    coalesce(max(CASE WHEN c.c >= 4 THEN c.i END) OVER
+      (PARTITION BY c.conv_id, c.turn_idx ORDER BY c.i
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s0,
+    coalesce(min(CASE WHEN c.c >= 4 THEN c.i END) OVER
+      (PARTITION BY c.conv_id, c.turn_idx ORDER BY c.i
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), s.len + 1) - 1 AS s1
+  FROM ch c JOIN st s ON s.conv_id = c.conv_id AND s.turn_idx = c.turn_idx
+),
+mm AS (
+  -- canonical m-mer values tagged with their segment bounds
+  SELECT k.conv_id, k.turn_idx, k.pos, least(k.fwd, k.rc) AS mval,
+         c2.s0, c2.s1, c2.len
+  FROM kmers k
+  JOIN chseg c2 ON c2.conv_id = k.conv_id AND c2.turn_idx = k.turn_idx
+               AND c2.i = k.pos + 1
+),
+sw AS (
+  -- a: segment-local window index; kk: m-mers in segment;
+  -- swmin: sliding min over {W} consecutive m-mer values
+  SELECT conv_id, turn_idx, s0, s1, len,
+    row_number() OVER seg - 1 AS a,
+    count(*) OVER (PARTITION BY conv_id, turn_idx, s0) AS kk,
+    min(mval) OVER (PARTITION BY conv_id, turn_idx, s0 ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS swmin
+  FROM mm
+  WINDOW seg AS (PARTITION BY conv_id, turn_idx, s0 ORDER BY pos)
+),
+wins AS (
+  -- keep full windows only; flag value changes (RLE boundaries)
+  SELECT *, CASE WHEN a = 0 OR swmin <> lag(swmin) OVER seg
+                 THEN 1 ELSE 0 END AS chg
+  FROM sw WHERE a <= kk - {W}
+  WINDOW seg AS (PARTITION BY conv_id, turn_idx, s0 ORDER BY a)
+),
+runsg AS (
+  SELECT conv_id, turn_idx, s0, s1, len, rid,
+         min(swmin) AS val, min(a) AS a_first
+  FROM (
+    SELECT *, sum(chg) OVER (PARTITION BY conv_id, turn_idx, s0 ORDER BY a
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+    FROM wins
+  ) _r
+  GROUP BY conv_id, turn_idx, s0, s1, len, rid
+),
+runsx AS (
+  SELECT *, lead(a_first) OVER seg AS next_a,
+         count(*) OVER (PARTITION BY conv_id, turn_idx, s0) AS rr
+  FROM runsg
+  WINDOW seg AS (PARTITION BY conv_id, turn_idx, s0 ORDER BY a_first)
+),
+spans AS (
+  SELECT conv_id, turn_idx, CAST(val AS BIGINT) AS mmer,
+    CAST(s0 + a_first AS BIGINT) AS win_start,
+    CAST(CASE WHEN next_a IS NOT NULL THEN s0 + next_a + {w} - 1
+              WHEN s1 = len THEN len
+              ELSE s1 END AS BIGINT) AS win_end
+  FROM runsx
+  -- lost-final-run quirk: change detected at the very last char
+  WHERE NOT (next_a IS NULL AND s1 = len AND rr >= 2
+             AND a_first + {w} - 1 = s1 - s0 - 1)
+  UNION ALL
+  -- never-filled window reaching end of text: sentinel record
+  SELECT conv_id, turn_idx, CAST(-1 AS BIGINT),
+         CAST(s0 AS BIGINT), CAST(len AS BIGINT)
+  FROM (SELECT conv_id, turn_idx, s0, s1, len, count(*) AS kk
+        FROM mm GROUP BY conv_id, turn_idx, s0, s1, len) _s
+  WHERE kk < {W} AND s1 = len
+)"""
+
+
 def perm_values() -> str:
     """VALUES list (perm, a, b) mirroring PERM_A/PERM_B exactly."""
     rows = ", ".join(

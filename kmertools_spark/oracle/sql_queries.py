@@ -11,7 +11,15 @@ from __future__ import annotations
 
 from ..functions.text import LANG_MARKERS
 from ..sources.transcripts import PROBES_SQL, TRANSCRIPTS_SQL
-from .sql import MOD, decode_expr, gram_cte, kmer_cte, perm_values, shingle_cte
+from .sql import (
+    MOD,
+    decode_expr,
+    gram_cte,
+    kmer_cte,
+    minimiser_spans_ctes,
+    perm_values,
+    shingle_cte,
+)
 
 T = f"t AS ({TRANSCRIPTS_SQL})"
 P = f"p AS (SELECT DISTINCT * FROM ({PROBES_SQL}) _p)"
@@ -420,6 +428,65 @@ WITH {T},
 grams AS ({gram_cte(5, 't')}),
 kmers AS ({kmer_cte(5)})
 SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer"""
+
+    # windowed minimizer-run state machine (W1) — full SQL twins of the
+    # numpy kernel at two (w, m) parameterizations
+    m5 = f"grams AS ({gram_cte(5, 't')}), kmers AS ({kmer_cte(5)})"
+    q["q26_minimizer_runs"] = f"""
+WITH {T}, {m5}, {CH},
+{minimiser_spans_ctes(8, 5)}
+SELECT conv_id, turn_idx, mmer, win_start, win_end FROM spans"""
+
+    q["q28_record_minimisers"] = f"""
+WITH {T}, {K4}, {CH},
+{minimiser_spans_ctes(12, 4)}
+SELECT conv_id, turn_idx,
+  CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+       ORDER BY win_start, win_end, mmer) - 1 AS INT) AS run_seq,
+  win_start, win_end, mmer
+FROM spans"""
+
+    q["q27_rolling_session_vec"] = f"""
+WITH {T}, {SESS}, {K4},
+ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
+       FROM kmers GROUP BY conv_id, turn_idx, kmer),
+win AS (
+  SELECT s1.conv_id, s1.turn_idx, c2.kmer, CAST(sum(c2.c) AS DOUBLE) AS cnt
+  FROM sess s1
+  JOIN sess s2 ON s2.conv_id = s1.conv_id
+    AND s2.session_seq = s1.session_seq AND s2.turn_idx <= s1.turn_idx
+  JOIN ck c2 ON c2.conv_id = s2.conv_id AND c2.turn_idx = s2.turn_idx
+  GROUP BY s1.conv_id, s1.turn_idx, c2.kmer
+)
+SELECT conv_id, turn_idx, kmer,
+  cnt / greatest(1.0, sum(cnt) OVER (PARTITION BY conv_id, turn_idx)) AS freq
+FROM win"""
+
+    # CGR walk (P7): the affine recurrence evaluated with the exact same
+    # FP op order as the kernel — (corner + prev) / 2 per char — so the
+    # doubles are bit-identical (composition/src/cgr.rs:127-144)
+    q["q29_cgr"] = f"""
+WITH RECURSIVE {T},
+cl AS (
+  SELECT conv_id, turn_idx,
+         upper(regexp_replace(text, '[^ACGTUacgtu]', '', 'g')) AS s
+  FROM t
+),
+walk(conv_id, turn_idx, i, x, y) AS (
+  SELECT conv_id, turn_idx, 0,
+         CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)
+  FROM cl WHERE length(s) > 0
+  UNION ALL
+  SELECT w.conv_id, w.turn_idx, w.i + 1,
+    (CAST(CASE WHEN substr(c.s, CAST(w.i AS INT) + 1, 1) IN ('G','T','U')
+          THEN 1 ELSE 0 END AS DOUBLE) + w.x) / CAST(2 AS DOUBLE),
+    (CAST(CASE WHEN substr(c.s, CAST(w.i AS INT) + 1, 1) IN ('C','G')
+          THEN 1 ELSE 0 END AS DOUBLE) + w.y) / CAST(2 AS DOUBLE)
+  FROM walk w JOIN cl c ON c.conv_id = w.conv_id AND c.turn_idx = w.turn_idx
+  WHERE w.i < length(c.s)
+)
+SELECT conv_id, turn_idx, CAST(i - 1 AS INT) AS pos, x, y
+FROM walk WHERE i >= 1"""
 
     q["q31_exploded_kmers"] = f"""
 WITH {T}, {K4}
