@@ -70,8 +70,22 @@ def main() -> None:
     n_turns = t.count()
     log(f"input: {n_turns} turns from {sf_dir} (rep={rep}) on local[{cpus}]")
 
-    # warm the python workers so the headline measures compute, not spawn
-    force(backfill_features_stream(t.limit(512), k=4, n_turns=3))
+    # partition the doc corpus by size, as a multi-file scan would be
+    # (over-splitting 5k docs across 32 workers just measures per-task
+    # overhead; at real scale maxPartitionBytes does this automatically)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    doc_parts = max(1, min(cpus, n_docs // 2000))
+    if doc_parts > 1:
+        docs = docs.repartition(doc_parts)
+
+    # Fleet warm-up: every python worker must import the kernel modules
+    # (numpy + kmertools_spark, ~2s cold) BEFORE the timed legs, or the
+    # first leg measures a 1-per-core import stampede instead of
+    # compute. Each warm pass spreads a small slice over `cpus`
+    # partitions so all workers load the module the leg will use.
+    force(backfill_features_stream(t.limit(1024).repartition(cpus), k=4, n_turns=3))
+    force(minhash_signatures(docs.limit(256).repartition(cpus)))
 
     t0 = time.time()
     rows = force(backfill_features_stream(t, k=4, n_turns=3))
@@ -89,10 +103,15 @@ def main() -> None:
     force(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
     timings["counts_cov"] = time.time() - t0
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # signatures are cached before the banding self-join — otherwise the
+    # join's two branches each recompute the minhash UDF over the whole
+    # corpus (the shape any real pipeline persists)
     t0 = time.time()
-    force(lsh_candidate_pairs(minhash_signatures(docs), bands=4))
+    sigs = minhash_signatures(docs).cache()
+    force(sigs)
+    force(lsh_candidate_pairs(sigs, bands=4))
     timings["dedup"] = time.time() - t0
+    sigs.unpersist()
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()
