@@ -232,15 +232,18 @@ def q18_simhash(spark, sf_dir):
 
 
 def q19_jaccard(spark, sf_dir):
-    """All-pairs n-gram Jaccard is quadratic by design (it is the LSH
-    verification stage); the gate bounds it to a deterministic doc
-    subset so the check stays tractable at any scale factor (at the
-    driver's sf0.01 the bound is a no-op: 500 docs < 1000)."""
-    from kmertools_spark.operators import jaccard_pairs
-
-    return jaccard_pairs(
-        _docs(spark, sf_dir).where("doc_id < 1000"), n=4, threshold=0.4
+    """The full LSH -> exact-verify composition: MinHash banding
+    produces candidate pairs, n-gram Jaccard verifies them through a
+    pairs-driven join (no gram self-join anywhere in the plan)."""
+    from kmertools_spark.operators import (
+        jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
     )
+
+    docs = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(minhash_signatures(docs), bands=4)
+    return jaccard_for_pairs(cand, docs, n=4, threshold=0.4)
 
 
 def q20_ann_topk(spark, sf_dir):

@@ -7,6 +7,7 @@ from .dedup import (
     char_ngrams,
     dedup_clusters,
     exact_dedup,
+    jaccard_for_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -33,6 +34,7 @@ __all__ = [
     "char_ngrams",
     "dedup_clusters",
     "exact_dedup",
+    "jaccard_for_pairs",
     "jaccard_pairs",
     "lsh_candidate_pairs",
     "minhash_signatures",

@@ -216,18 +216,36 @@ bits AS (
 )
 SELECT doc_id, CAST(sum(bit * p) AS BIGINT) AS simhash FROM bits GROUP BY doc_id"""
 
-    q["q19_jaccard"] = """
-WITH g AS (
+    q["q19_jaccard"] = f"""
+WITH sh AS ({shingle_cte(8)}),
+sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
+  FROM sh CROSS JOIN {perm_values()}
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, perm // 4 AS band,
+    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
   FROM (SELECT doc_id, text,
                unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
-        FROM documents WHERE doc_id < 1000) _
+        FROM documents) _
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN g a ON a.doc_id = c.id_a
+  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b,
   round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard

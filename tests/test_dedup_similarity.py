@@ -75,3 +75,86 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     }
     planted = sum(1 for qid in range(10) if top1.get(qid) == qid + 40)
     assert planted >= 7, (planted, top1)
+
+
+def test_lsh_hot_band_cap_flood(spark):
+    """A flooded bucket (many identical docs) must not explode into
+    O(n^2) candidate pairs when capped — and the cap must preserve
+    connectivity exactly (star edges to the bucket minimum)."""
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    n_flood = 200
+    rows = [(i, "the same boilerplate text repeated " * 4) for i in range(n_flood)]
+    rows += [(1000 + i, f"unique document number {i} with its own words {i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs).cache()
+
+    capped = lsh_candidate_pairs(sigs, bands=4, max_bucket=50).cache()
+    uncapped = lsh_candidate_pairs(sigs, bands=4).cache()
+
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped >= n_flood * (n_flood - 1) // 2  # quadratic flood
+    assert n_capped < 3 * n_flood  # linear after cap
+
+    ids = docs.select("doc_id")
+    c1 = {r.doc_id: r.cluster_id for r in dedup_clusters(capped, ids).collect()}
+    c2 = {r.doc_id: r.cluster_id for r in dedup_clusters(uncapped, ids).collect()}
+    assert c1 == c2
+
+
+def test_jaccard_for_pairs_matches_allpairs(spark):
+    """Candidate-driven Jaccard == all-pairs Jaccard restricted to the
+    candidate list (the LSH -> verify composition is exact)."""
+    from kmertools_spark.operators import jaccard_for_pairs, jaccard_pairs
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(4, 12)))
+        for _ in range(40)
+    ]
+    texts += [t + " suffix" for t in texts[:10]]  # near-dups
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(i, 40 + i) for i in range(10)] + [(3, 7), (12, 29)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_for_pairs(cand, docs, n=4, threshold=0.1).collect()
+    }
+    allp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, n=4, threshold=0.1).collect()
+    }
+    cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+    want = {k: v for k, v in allp.items() if k in cand_set}
+    assert got == want
+
+
+def test_cosine_neardup_blocked_matches_naive(spark, emb):
+    """Tiled block-GEMM all-pairs == numpy reference, across block
+    boundaries (n_blocks > 1 so cross-block and same-block tasks both
+    execute)."""
+    from kmertools_spark.operators import cosine_neardup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs(emb, threshold=0.5, n_blocks=4).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id")
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    nm = m / np.linalg.norm(m, axis=1)[:, None]
+    S = nm @ nm.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(S[i, j], 6)
+            if c >= 0.5:
+                want[(int(ids[i]), int(ids[j]))] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])

@@ -76,3 +76,42 @@ def test_asof_single_partitioning_key(spark, tdf):
     # one window over the union; all exchanges hash on conv_id only
     assert plan.count("Window") == 1
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_jaccard_for_pairs_no_gram_selfjoin(spark):
+    """The pairs-driven Jaccard plan must join grams through the
+    candidate list (equi-joins on id / (id, gram)), never gram-to-gram:
+    no sort-merge/shuffle-hash join keyed on gram alone."""
+    from kmertools_spark.operators import jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document text number {i} {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    opt = _opt(jaccard_for_pairs(pairs, docs, n=4, threshold=0.1))
+    for line in opt.splitlines():
+        if "Join" in line and "gram" in line:
+            # any join touching gram must also be keyed by a doc id
+            assert "id_b" in line or "id_a" in line, line
+
+
+def test_cosine_neardup_no_row_cartesian(spark):
+    """The blocked near-dup plan's only non-equi join is between PACKED
+    block rows (post-aggregation), never raw vector rows: the join
+    inputs must be the applyInPandas pack stage."""
+    from kmertools_spark.operators import cosine_neardup_pairs
+
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(i, np.random.RandomState(i).standard_normal(8).tolist()) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(cosine_neardup_pairs(emb, threshold=0.5, n_blocks=2))
+    # the nested-loop join exists only above FlatMapGroupsInPandas (pack)
+    nl_pos = plan.find("NestedLoopJoin")
+    pack_pos = plan.find("FlatMapGroupsInPandas")
+    assert pack_pos != -1
+    if nl_pos != -1:
+        assert pack_pos > nl_pos  # pack feeds the join, not raw rows
