@@ -148,6 +148,15 @@ def cmd_cov(a) -> int:
     from .operators import coverage_features, global_kmer_counts
     from .sources.fastx import write_vectors_text
 
+    # clap range parity (args.rs:148 k 7..=31, :156/:160 bins 5..); the
+    # LIBRARY accepts any k — the reference's own unit tests drive
+    # coverage/src/lib.rs at k=4 below the CLI range
+    if not (7 <= a.k_size <= 31):
+        print("error: k_size must be in 7..=31", file=sys.stderr)
+        return 2
+    if a.bin_size < 5 or a.bin_count < 5:
+        print("error: bin_size and bin_count must be >= 5", file=sys.stderr)
+        return 2
     spark = _spark()
     df = _read(spark, a.input).withColumnRenamed("seq", "text")
     kmer_src = (
@@ -178,11 +187,13 @@ def cmd_min(a) -> int:
     from .functions import exploded_minimisers
     from .oracle.codec import numeric_to_kmer
 
+    # clap range parity first (args.rs:188 m 7..=28), then the runtime
+    # consistency checks (args.rs:327-334 order)
+    if not (7 <= a.m_size <= 28):
+        print("error: m_size must be in 7..=28", file=sys.stderr)
+        return 2
     if a.w_size <= a.m_size and a.w_size > 0:
         print("Window size must be longer than minimiser size!", file=sys.stderr)
-        return 2
-    if a.m_size >= 31:
-        print("Minimisers longer than 30 bases not allowed!", file=sys.stderr)
         return 2
     spark = _spark()
     df = _read(spark, a.input).withColumnRenamed("seq", "text")

@@ -35,6 +35,37 @@ from pyspark.sql.types import (
 from ..functions.composition import _pos_map
 from ..oracle.kernels import composition_matrix
 
+def _carry_blocks(df: DataFrame, chunk: int, n_turns: int) -> DataFrame:
+    """Assign position-based chunk blocks with an (n_turns-1)-row carry.
+
+    Block id derives from a row_number over (conv_id ORDER BY turn_idx),
+    NOT from raw turn_idx values, so filtered/sparse inputs (e.g. a
+    user-turns-only subset) chunk correctly: the carry rows are the
+    previous (n_turns-1) ROWS of the conversation regardless of
+    turn_idx gaps (round-1 advice — value-derived blocks silently
+    dropped boundary carries on sparse inputs). Carry rows are emitted
+    into the next block too (emit=False there); explode() keeps this a
+    single scan.
+    """
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx")) - 1
+    df = df.withColumn("__rn", rn)
+    blk = (F.col("__rn") / chunk).cast("long")
+    in_carry = (F.col("__rn") % chunk) >= chunk - (n_turns - 1)
+    blocks = (
+        F.when(in_carry, F.array(blk, blk + 1)).otherwise(F.array(blk))
+        if n_turns > 1
+        else F.array(blk)
+    )
+    return (
+        df.withColumn("__own", blk)
+        .withColumn("__blk", F.explode(blocks))
+        .withColumn("__emit", F.col("__own") == F.col("__blk"))
+        .drop("__own", "__rn")
+    )
+
+
 _OUT_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),
@@ -120,20 +151,7 @@ def rolling_turn_vectors(
 
     chunked = chunk is not None and mode == "turns"
     if chunked:
-        # block id; rows in the last (n_turns-1) positions of a block are
-        # ALSO emitted into the next block as carry (emit=False there).
-        # explode() keeps this a single scan — a unionByName here would
-        # recompute the whole upstream plan twice.
-        blk = (F.col("turn_idx") / chunk).cast("long")
-        in_carry = (F.col("turn_idx") % chunk) >= chunk - (n_turns - 1)
-        blocks = (
-            F.when(in_carry, F.array(blk, blk + 1)).otherwise(F.array(blk))
-            if n_turns > 1
-            else F.array(blk)
-        )
-        work = work.withColumn("__own", blk).withColumn(
-            "__blk", F.explode(blocks)
-        ).withColumn("__emit", F.col("__own") == F.col("__blk")).drop("__own")
+        work = _carry_blocks(work, chunk, n_turns)
         group_keys = ["conv_id", "__blk"]
     else:
         group_keys = ["conv_id"]
@@ -189,16 +207,7 @@ def backfill_features(
     work = work.select("conv_id", "turn_idx", "session_seq", "text")
 
     if chunk is not None:
-        blk = (F.col("turn_idx") / chunk).cast("long")
-        in_carry = (F.col("turn_idx") % chunk) >= chunk - (n_turns - 1)
-        blocks = (
-            F.when(in_carry, F.array(blk, blk + 1)).otherwise(F.array(blk))
-            if n_turns > 1
-            else F.array(blk)
-        )
-        work = work.withColumn("__own", blk).withColumn(
-            "__blk", F.explode(blocks)
-        ).withColumn("__emit", F.col("__own") == F.col("__blk")).drop("__own")
+        work = _carry_blocks(work, chunk, n_turns)
         group_keys = ["conv_id", "__blk"]
     else:
         group_keys = ["conv_id"]
@@ -264,9 +273,10 @@ def backfill_features_stream(
     # cumsum with cross-batch carry) unless session_seq is already
     # present — saving a second full-data shuffle (the window pass).
     # mode='time' windows over [ts_i - time_seconds, ts_i]; its carry is
-    # the open conversation's rows within the horizon of its last ts
-    # (bounded by max_carry — a conversation denser than that within one
-    # horizon falls back to a truncated window, logged via the cap).
+    # the open conversation's rows within the horizon of its last ts,
+    # bounded by max_carry — a conversation denser than that within one
+    # horizon gets a truncated window and a RuntimeWarning on the
+    # executor (see the clamp below).
     have_sess = "session_seq" in df.columns
     need_ts = (not have_sess) or mode == "time"
     cols = ["conv_id", "turn_idx", "text"]
@@ -377,7 +387,19 @@ def backfill_features_stream(
                     ts_tail.size
                     - np.searchsorted(ts_tail, ts_tail[-1] - horizon_ms, "left")
                 )
-                take = min(min(within, last_rows), max_carry)
+                take = min(within, last_rows)
+                if take > max_carry:
+                    import warnings
+
+                    warnings.warn(
+                        f"backfill_features_stream: conversation {carry_conv!r} "
+                        f"has {take} rows inside one {horizon_ms}ms horizon; "
+                        f"carry clamped to max_carry={max_carry} — windows "
+                        "crossing the next batch boundary will be truncated",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    take = max_carry
             carry_counts = full[full.shape[0] - take :] if take else np.zeros((0, kcount))
             if mode == "time":
                 carry_ts_arr = (

@@ -85,6 +85,13 @@ def rolling_vectors_stream(
     rows the oldest gap is abandoned (expected_next jumps to the
     smallest buffered turn) so memory stays bounded — the batch
     backfill remains the recovery tool for dropped gaps.
+
+    The reorder contract REQUIRES 0-based dense per-conversation
+    turn_idx (that is what lets the buffer distinguish "gap" from
+    "done"); feeding a filtered/sparse subset stalls each conversation
+    at its first missing index until max_pending evicts it. Pre-filtered
+    streams should renumber with a row_number first (the batch chunked
+    paths do this internally via operators.rolling._carry_blocks).
     """
     gap_ms = int(gap_seconds * 1000)
 

@@ -42,7 +42,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # unify nullable ints
+            # nullable Int64 (not float64): keeps 64-bit values exact
+            # (xxhash64-scale ints would be lossy past 2^53) and keeps
+            # int-vs-float dtype mismatches visible in compare()
+            df[c] = df[c].astype("Int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -57,10 +60,14 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         return problems
     a, b = normalize(a), normalize(b)
     for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            av = av.astype("float64")
-            bv = bv.astype("float64")
+        ak = "i" if isinstance(a[c].dtype, pd.Int64Dtype) else a[c].dtype.kind
+        bk = "i" if isinstance(b[c].dtype, pd.Int64Dtype) else b[c].dtype.kind
+        if ak != bk:
+            problems.append(f"col {c} dtype kind spark={ak} duck={bk}")
+            continue
+        if ak == "f":
+            av = a[c].to_numpy("float64")
+            bv = b[c].to_numpy("float64")
             nan_ok = np.isnan(av) & np.isnan(bv)
             close = np.isclose(av, bv, rtol=1e-9, atol=1e-12) | nan_ok
             if not close.all():
@@ -68,7 +75,14 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
                 problems.append(
                     f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}"
                 )
+        elif ak == "i":
+            av, bv = a[c], b[c]
+            eq = ((av == bv) | (av.isna() & bv.isna())).to_numpy(dtype=bool)
+            if not eq.all():
+                i = int(np.flatnonzero(~eq)[0])
+                problems.append(f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}")
         else:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
             eq = av == bv
             if not eq.all():
                 i = int(np.flatnonzero(~eq)[0])

@@ -67,21 +67,24 @@ def test_cli_ctr_golden(spark, tmp_path):
     assert _sorted_lines(f"{out2}/kmers.counts") == exp_acgt
 
 
-def test_cli_cov_goldens(spark, tmp_path):
-    out = str(tmp_path / "cov")
-    assert main(["cov", "-i", FQ, "-o", out, "-k", "4", "-s", "2", "-c", "3"]) == 0
-    assert (
-        open(f"{out}/kmers.vectors", "rb").read()
-        == open(f"{REF}/expected_counts.vectors", "rb").read()
-    )
-    out2 = str(tmp_path / "cov_un")
-    assert main(
-        ["cov", "-i", FQ, "-o", out2, "-k", "4", "-s", "2", "-c", "3", "--counts"]
-    ) == 0
-    assert (
-        open(f"{out2}/kmers.vectors", "rb").read()
-        == open(f"{REF}/expected_counts_unnorm.vectors", "rb").read()
-    )
+def test_cov_library_goldens(spark, tmp_path):
+    """Coverage goldens at k=4/s=2/c=3 — BELOW the CLI's clap range,
+    exactly like the reference: coverage/src/lib.rs:200-240 drives the
+    library directly with these params while args.rs:148 restricts the
+    CLI to k 7..=31. So this test goes through the library layer."""
+    from kmertools_spark.cli import _read
+    from kmertools_spark.operators import coverage_features, global_kmer_counts
+    from kmertools_spark.sources.fastx import write_vectors_text
+
+    df = _read(spark, FQ).withColumnRenamed("seq", "text")
+    counts = global_kmer_counts(df, k=4)
+    for norm, golden in ((True, "expected_counts.vectors"),
+                         (False, "expected_counts_unnorm.vectors")):
+        cov = coverage_features(df, counts, k=4, bin_size=2, bin_count=3, norm=norm)
+        out = str(tmp_path / f"kmers_{norm}.vectors")
+        write_vectors_text(cov, out, vec_col="cov_vec", order_col="n",
+                           delim=" ", norm=norm)
+        assert open(out, "rb").read() == open(f"{REF}/{golden}", "rb").read()
 
 
 def test_cli_min_goldens(spark, tmp_path):
@@ -101,3 +104,8 @@ def test_cli_arg_validation(spark, tmp_path):
     assert main(["min", "-i", FQ, "-o", out, "-m", "31", "-w", "40", "-p", "s2m"]) == 2
     assert main(["comp", "oligo", "-i", FQ, "-o", out, "-k", "9"]) == 2
     assert main(["ctr", "-i", FQ, "-o", out, "-k", "5"]) == 2
+    # clap range parity added per round-1 advice (args.rs:148,156,160,188)
+    assert main(["cov", "-i", FQ, "-o", out, "-k", "4", "-s", "16", "-c", "16"]) == 2
+    assert main(["cov", "-i", FQ, "-o", out, "-k", "15", "-s", "2", "-c", "16"]) == 2
+    assert main(["cov", "-i", FQ, "-o", out, "-k", "15", "-s", "16", "-c", "3"]) == 2
+    assert main(["min", "-i", FQ, "-o", out, "-m", "5", "-w", "12", "-p", "s2m"]) == 2

@@ -268,3 +268,34 @@ def test_rolling_session_vectors(spark, tdf):
             exp[(conv, int(t))] = win
     for _, r in got.iterrows():
         assert np.allclose(np.array(r.vec), exp[(r.conv_id, int(r.turn_idx))], rtol=1e-9)
+
+
+def test_rolling_chunked_sparse_turn_idx(spark, tdf):
+    """Chunk blocks derive from ROW position, not turn_idx values:
+    a filtered (sparse/non-0-based) subset must produce identical
+    windows chunked and unchunked (round-1 advice regression)."""
+    df, _ = tdf
+    # keep ~half the turns -> gaps everywhere, including block borders
+    sub = df.where((F.col("turn_idx") % 3 != 1) & (F.col("turn_idx") >= 2))
+
+    def key(d):
+        return {
+            (r.conv_id, int(r.turn_idx)): np.asarray(r.vec)
+            for _, r in d.toPandas().iterrows()
+        }
+
+    whole = key(rolling_turn_vectors(sub, k=4, mode="turns", n_turns=3, chunk=None))
+    chunked = key(rolling_turn_vectors(sub, k=4, mode="turns", n_turns=3, chunk=4))
+    assert whole.keys() == chunked.keys()
+    for kk in whole:
+        assert np.allclose(whole[kk], chunked[kk], rtol=1e-12), kk
+
+    from kmertools_spark.operators import backfill_features
+
+    bw = backfill_features(sub, k=4, n_turns=3, chunk=None).toPandas()
+    bc = backfill_features(sub, k=4, n_turns=3, chunk=4).toPandas()
+    bw = bw.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    bc = bc.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(bw) == len(bc)
+    for i in range(len(bw)):
+        assert np.allclose(bw.roll_vec[i], bc.roll_vec[i], rtol=1e-12)
