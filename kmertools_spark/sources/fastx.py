@@ -6,8 +6,9 @@ the Sequence{n, id, seq} shape (ktio/src/seq.rs:12-16) as a DataFrame
 (n:long, id:string, seq:string).
 
 Format resolution mirrors SeqFormat::get (ktio/src/seq.rs:30-42):
-extension with optional .gz suffix; gzip decompression is native to
-Spark's text source.
+extension with optional .gz suffix; '-' reads stdin with first-byte
+format sniffing (get_reader ktio/src/seq.rs:141-155 +
+composition/src/oligo.rs:96-106).
 
 Scale note: FASTA records span lines, so a plain line-based reader
 cannot split files safely; this reader is driver-side for golden
@@ -22,6 +23,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +31,10 @@ SCHEMA = "n long, id string, seq string"
 
 
 def _open(path: str):
+    """File / gzip / stdin ('-') reader — get_reader parity
+    (ktio/src/seq.rs:141-155)."""
+    if path == "-":
+        return sys.stdin
     if path.endswith(".gz"):
         return io.TextIOWrapper(gzip.open(path, "rb"))
     return open(path)
@@ -46,10 +52,21 @@ def infer_format(path: str) -> str:
 
 
 def read_fastx(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
-    """Load a FASTA/FASTQ file as (n, id, seq) rows."""
-    fmt = fmt or infer_format(path)
+    """Load a FASTA/FASTQ file (or stdin via '-') as (n, id, seq) rows.
+
+    For stdin the format is sniffed from the first byte — '>' means
+    FASTA, anything else FASTQ — exactly like the reference's batch
+    path (composition/src/oligo.rs:96-106).
+    """
+    f = _open(path)
+    if path == "-":
+        buffered = io.StringIO(f.read())
+        fmt = fmt or ("fasta" if buffered.getvalue()[:1] == ">" else "fastq")
+        f = buffered
+    else:
+        fmt = fmt or infer_format(path)
     rows: list[tuple[int, str, str]] = []
-    with _open(path) as f:
+    with f:
         if fmt == "fastq":
             n = 0
             while True:

@@ -109,3 +109,21 @@ def test_cli_arg_validation(spark, tmp_path):
     assert main(["cov", "-i", FQ, "-o", out, "-k", "15", "-s", "2", "-c", "16"]) == 2
     assert main(["cov", "-i", FQ, "-o", out, "-k", "15", "-s", "16", "-c", "3"]) == 2
     assert main(["min", "-i", FQ, "-o", out, "-m", "5", "-w", "12", "-p", "s2m"]) == 2
+
+
+def test_cli_stdin_pipe(tmp_path):
+    """End-to-end stdin parity: `cat reads.fq | ... -i -` must produce
+    the same bytes as the file path (VERDICT r1 item 7)."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "stdin.kmers")
+    with open(FQ, "rb") as f:
+        r = subprocess.run(
+            [_sys.executable, "-m", "kmertools_spark", "comp", "oligo",
+             "-i", "-", "-o", out, "-k", "4"],
+            stdin=f, capture_output=True, timeout=300,
+            cwd="/root/repo",
+        )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert open(out, "rb").read() == open(f"{REF}/expected_fa.kmers", "rb").read()

@@ -68,3 +68,24 @@ def test_comp_oligo_unnorm_golden(spark, tmp_path):
         open(path, "rb").read()
         == open(f"{REF}/expected_fa_batch_unnorm.kmers", "rb").read()
     )
+
+
+def test_read_fastx_stdin(spark, monkeypatch):
+    """'-' reads stdin; format sniffed from the first byte ('>' = fasta)
+    like the reference batch path (composition/src/oligo.rs:96-106)."""
+    import io as _io
+
+    from kmertools_spark.sources.fastx import read_fastx
+
+    fq_text = open("/root/reference/test_data/reads.fq").read()
+    monkeypatch.setattr("sys.stdin", _io.StringIO(fq_text))
+    rows = read_fastx(spark, "-").orderBy("n").collect()
+    assert [r.id for r in rows] == ["Read_1", "Read_2"]
+    assert rows[0].seq.startswith("GGGTGATGGCCGCTGCC")
+
+    fa_text = ">Record_1\nACGTACGTACGT\n"
+    monkeypatch.setattr("sys.stdin", _io.StringIO(fa_text))
+    rows = read_fastx(spark, "-").collect()
+    assert rows == [(0, "Record_1", "ACGTACGTACGT")] or (
+        rows[0].id == "Record_1" and rows[0].seq == "ACGTACGTACGT"
+    )
