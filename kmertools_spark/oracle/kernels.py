@@ -403,23 +403,119 @@ def kmer_minimiser_runs(
 def minimiser_runs_batch(
     texts: Iterable[str | None], w: int, m: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Batch minimizer runs: (row_idx, mmer, start, end) int64 arrays."""
-    rows: list[int] = []
-    vals: list[int] = []
-    starts: list[int] = []
-    ends: list[int] = []
-    for i, t in enumerate(texts):
-        for v, s, e in minimiser_runs(t or "", w, m):
-            rows.append(i)
-            vals.append(v)
-            starts.append(s)
-            ends.append(e)
-    return (
-        np.asarray(rows, dtype=np.int64),
-        np.asarray(vals, dtype=np.int64),
-        np.asarray(starts, dtype=np.int64),
-        np.asarray(ends, dtype=np.int64),
-    )
+    """Batch minimizer runs: (row_idx, mmer, start, end) int64 arrays.
+
+    Fully vectorized ACROSS rows: one concat-codes pass, one global
+    m-mer scan, one global sliding-window minimum, and one RLE over all
+    OOV-free segments of all texts at once — the per-row Python loop
+    this replaces paid kernel setup per text. Semantics are exactly
+    ``minimiser_runs(t, w, m)`` per row (property-tested), emitted in
+    (row, win_start) order — the per-text emission order.
+    """
+    texts = list(texts)
+    e = np.empty(0, np.int64)
+    empty = (e, e.copy(), e.copy(), e.copy())
+    if not texts:
+        return empty
+    if w == 0:
+        # whole-record window (per-row w_eff = len): dedicated kernel
+        return whole_record_minimisers(texts, m)
+    if w < m:
+        return empty  # w_eff < m emits nothing for every row
+
+    W = w - m + 1
+    codes, starts, lens = concat_codes(texts)
+    pos, f, r = kmer_windows(codes, m)
+    G = pos.size
+    if G == 0:
+        return empty
+    mvals = np.minimum(f, r).astype(np.int64)
+    rows_of = np.searchsorted(starts, pos, side="right") - 1
+
+    # segments = maximal contiguous valid-window runs (separators and
+    # OOV chars both break pos contiguity; every segment is row-local)
+    newseg = np.empty(G, dtype=bool)
+    newseg[0] = True
+    np.not_equal(pos[1:], pos[:-1] + 1, out=newseg[1:])
+    seg_of = np.cumsum(newseg) - 1
+    g0_idx = np.flatnonzero(newseg)  # first global window idx per segment
+    S = g0_idx.size
+    seg_counts = np.diff(np.append(g0_idx, G))  # K (m-mers per segment)
+    seg_row = rows_of[g0_idx]
+    s0_local = pos[g0_idx] - starts[seg_row]
+    last_idx = np.append(g0_idx[1:], G) - 1
+    s1_local = pos[last_idx] + m - starts[seg_row]
+    n_local = lens[seg_row]
+    at_end = s1_local == n_local
+
+    out_rows: list[np.ndarray] = []
+    out_vals: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    out_e: list[np.ndarray] = []
+
+    # full windows: segment-local index a <= K - W
+    a_of = np.arange(G, dtype=np.int64) - g0_idx[seg_of]
+    full_idx = np.flatnonzero(a_of <= seg_counts[seg_of] - W)
+    if full_idx.size:
+        if W == 1:
+            sw_all = mvals
+        else:
+            sw_all = np.lib.stride_tricks.sliding_window_view(mvals, W).min(axis=1)
+        sw = sw_all[full_idx]
+        segf = seg_of[full_idx]
+        # RLE boundaries: first full window of a segment or value change
+        chg = np.empty(full_idx.size, dtype=bool)
+        chg[0] = True
+        np.logical_or(segf[1:] != segf[:-1], sw[1:] != sw[:-1], out=chg[1:])
+        run_pos = np.flatnonzero(chg)
+        run_seg = segf[run_pos]
+        run_val = sw[run_pos]
+        run_a = full_idx[run_pos] - g0_idx[run_seg]
+        next_a = np.full(run_pos.size, -1, dtype=np.int64)
+        if run_pos.size > 1:
+            same = run_seg[1:] == run_seg[:-1]
+            next_a[:-1][same] = run_a[1:][same]
+        is_final = next_a < 0
+        runs_per_seg = np.bincount(run_seg, minlength=S)
+        seg_s0 = s0_local[run_seg]
+        seg_s1 = s1_local[run_seg]
+        seg_n = n_local[run_seg]
+        seg_end = at_end[run_seg]
+        win_start = seg_s0 + run_a
+        win_end = np.where(
+            ~is_final,
+            seg_s0 + next_a + w - 1,  # char where the change was detected
+            np.where(seg_end, seg_n, seg_s1),  # tail flush / OOV flush
+        )
+        # lost-final-run quirk: change detected at the very last char
+        lost = (
+            is_final
+            & seg_end
+            & (runs_per_seg[run_seg] >= 2)
+            & (run_a + w - 1 == seg_s1 - seg_s0 - 1)
+        )
+        keep = ~lost
+        out_rows.append(seg_row[run_seg][keep])
+        out_vals.append(run_val[keep])
+        out_s.append(win_start[keep])
+        out_e.append(win_end[keep])
+
+    # never-filled-window sentinel at end of text
+    sent = np.flatnonzero((seg_counts < W) & at_end)
+    if sent.size:
+        out_rows.append(seg_row[sent])
+        out_vals.append(np.full(sent.size, MINIMISER_SENTINEL, dtype=np.int64))
+        out_s.append(s0_local[sent])
+        out_e.append(n_local[sent])
+
+    if not out_rows:
+        return empty
+    rr = np.concatenate(out_rows).astype(np.int64)
+    vv = np.concatenate(out_vals).astype(np.int64)
+    ss = np.concatenate(out_s).astype(np.int64)
+    ee = np.concatenate(out_e).astype(np.int64)
+    order = np.lexsort((ss, rr))
+    return rr[order], vv[order], ss[order], ee[order]
 
 
 # CGR corners: A(0,0) T(v,0) G(v,v) C(0,v), U==T, case-insensitive

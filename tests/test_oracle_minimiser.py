@@ -174,3 +174,46 @@ if HAVE_HYPOTHESIS:
     def test_property_vectorized_equals_imperative(text, m, extra, whole):
         w = 0 if whole else m + extra
         assert minimiser_runs(text, w, m) == minimiser_runs_imperative(text, w, m)
+
+
+def test_batch_windowed_matches_per_text():
+    from kmertools_spark.oracle.kernels import minimiser_runs_batch
+
+    texts = [
+        READ_1, READ_2, "", "AC", "ACGTNNNN", "NNNNACGTACGT",
+        "ACGTXACG", "acgtacgtu", None, BLOG_SEQ,
+        "ACGTACGT",  # exactly one window at w=8
+        "ACGTACGTN",  # OOV at very end (flush path)
+    ]
+    for w, m in [(8, 5), (12, 4), (5, 5), (31, 7), (0, 5), (3, 5)]:
+        rr, vv, ss, ee = minimiser_runs_batch(texts, w, m)
+        got = {}
+        for i in range(rr.size):
+            got.setdefault(int(rr[i]), []).append((int(vv[i]), int(ss[i]), int(ee[i])))
+        for i, t in enumerate(texts):
+            exp = minimiser_runs(t or "", w, m)
+            if w == 0 and (not t or len(t) < m):
+                exp = []
+            assert got.get(i, []) == exp, (i, t, w, m)
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ACGTNacgtu x", min_size=0, max_size=80), max_size=6
+        ),
+        m=st.integers(min_value=2, max_value=6),
+        extra=st.integers(min_value=0, max_value=12),
+    )
+    def test_property_batch_windowed(texts, m, extra):
+        from kmertools_spark.oracle.kernels import minimiser_runs_batch
+
+        w = m + extra
+        rr, vv, ss, ee = minimiser_runs_batch(texts, w, m)
+        got = {}
+        for i in range(rr.size):
+            got.setdefault(int(rr[i]), []).append((int(vv[i]), int(ss[i]), int(ee[i])))
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == minimiser_runs(t, w, m), (i, t, w, m)
