@@ -47,15 +47,32 @@ def coverage_features(
     bin_count: int = 16,
     norm: bool = True,
     out_col: str = "cov_vec",
+    strategy: str = "auto",
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Attach per-row coverage histograms against a global count table.
 
-    Physical strategy (X10): the count table is collected and broadcast
-    (bounded by the 4^k domain — always safe for k <= 12; for larger k
-    at 100 TB, pre-filter `counts` to the frequent tail or switch to the
-    exploded-join formulation in the oracle SQL). The probe itself is
-    map-side vectorized binning — no join, no shuffle.
+    Two physical strategies (X10):
+      'broadcast' — collect the count table to the driver and probe it
+        map-side (vectorized binning; no join, no shuffle). Safe while
+        the DISTINCT observed k-mer set fits the driver — always for
+        k <= 12 (4^k bound); at 100 TB corpora and large k the distinct
+        set itself is huge, so:
+      'join' — exploded canonical k-mers LEFT-join the count table on
+        kmer (missing -> 0, the F3 rule), bin, then rebuild the
+        histogram with one conditional-sum aggregation per row key and
+        join it back. Never materializes the count table anywhere; all
+        shuffles are equi-joins Spark can plan (broadcast if small, AQE
+        skew-split if hot).
+    'auto' picks broadcast for k <= 12, join above. The join path needs
+    row-identifying ``keys`` (the broadcast path does not).
     """
+    if strategy == "auto":
+        strategy = "broadcast" if k <= 12 else "join"
+    if strategy == "join":
+        return _coverage_features_join(
+            df, counts, text_col, k, bin_size, bin_count, norm, out_col, keys
+        )
     spark = df.sparkSession
     rows = counts.select("kmer", "cnt").toPandas()
     udf = coverage_vector(
@@ -68,3 +85,48 @@ def coverage_features(
         spark=spark,
     )
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def _coverage_features_join(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str,
+    k: int,
+    bin_size: int,
+    bin_count: int,
+    norm: bool,
+    out_col: str,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """Exploded-join coverage (the k > 12 scale path) — see
+    coverage_features. Same outputs as the broadcast strategy
+    bit-for-bit (equality-tested at both small and large k)."""
+    from ..functions.kmers import exploded_kmers
+
+    ex = exploded_kmers(df, text_col=text_col, k=k, keys=keys).select(
+        *keys, F.least("fwd", "rc").alias("kmer")
+    )
+    binned = ex.join(counts.select("kmer", "cnt"), "kmer", "left").select(
+        *keys,
+        F.least(
+            (F.coalesce(F.col("cnt"), F.lit(0)) / bin_size).cast("long"),
+            F.lit(bin_count - 1),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy(*keys).agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bin") == b, 1).otherwise(0)).cast("double")
+                for b in range(bin_count)
+            ]
+        ).alias("__h")
+    )
+    if norm:
+        total = F.aggregate("__h", F.lit(0.0), lambda acc, x: acc + x)
+        hist = hist.withColumn(
+            "__h", F.transform("__h", lambda x: x / F.greatest(F.lit(1.0), total))
+        )
+    zero = F.array(*[F.lit(0.0) for _ in range(bin_count)])
+    return df.join(hist, list(keys), "left").withColumn(
+        out_col, F.coalesce(F.col("__h"), zero)
+    ).drop("__h")

@@ -93,20 +93,42 @@ def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            out_id, out_kind, out_feat = [], [], []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
-                img = _decode_rgb(bytes(row["payload"]), m["width"], m["height"])
-                hist = np.bincount(img.ravel() >> 5, minlength=n_bins).astype(
-                    np.float64
-                )
-                hist /= max(1.0, hist.sum())
-                means = img.reshape(-1, 3).mean(axis=0) / 255.0
-                out_id.append(row["media_id"])
-                out_kind.append(row["kind"])
-                out_feat.append(np.concatenate([means, hist]).tolist())
+            k = len(pdf)
+            if k == 0:
+                continue
+            metas = pdf["meta"]
+            # REAL-CODEC INTEGRATION POINT: this comprehension is the one
+            # per-payload step (a codec call is per-payload by nature —
+            # swap _decode_rgb for Pillow/libjpeg/ffmpeg on a cluster
+            # that has them). Everything below is one vectorized pass
+            # over the concatenated pixels of the whole Arrow batch.
+            imgs = [
+                _decode_rgb(bytes(p), m["width"], m["height"])
+                for p, m in zip(pdf["payload"], metas)
+            ]
+            sizes = np.fromiter((im.size for im in imgs), dtype=np.int64, count=k)
+            flat = np.concatenate([im.ravel() for im in imgs])
+            rows = np.repeat(np.arange(k), sizes)
+            hist = (
+                np.bincount(rows * n_bins + (flat >> 5), minlength=k * n_bins)
+                .reshape(k, n_bins)
+                .astype(np.float64)
+            )
+            hist /= np.maximum(1.0, hist.sum(axis=1))[:, None]
+            offs = np.zeros(k, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            ch = (np.arange(flat.size, dtype=np.int64) - offs[rows]) % 3
+            csum = np.bincount(
+                rows * 3 + ch, weights=flat, minlength=k * 3
+            ).reshape(k, 3)
+            means = csum / np.maximum(1, sizes[:, None] // 3) / 255.0
+            feats = np.concatenate([means, hist], axis=1)
             yield pd.DataFrame(
-                {"media_id": out_id, "kind": out_kind, "feat": out_feat}
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "feat": list(feats),
+                }
             )
 
     return df.mapInPandas(gen, schema)

@@ -127,3 +127,26 @@ def test_kmer_count_pairs_partial_agg(spark):
     got = kmer_count_pairs(df, k=4).groupBy("kmer").agg(F.sum("cnt").alias("cnt")).collect()
     # ACGT k=4: fwd=0b00011011=27, rc=27 -> canonical 27, three occurrences
     assert [(r["kmer"], r["cnt"]) for r in got] == [(27, 3)]
+
+
+@pytest.mark.parametrize("k,norm", [(4, True), (4, False), (15, True)])
+def test_coverage_join_strategy_matches_broadcast(spark, tdf, k, norm):
+    """The exploded-join coverage path (the k>12 scale formulation, no
+    driver-side count table) must equal the broadcast probe bit-for-bit
+    — including rows with no valid k-mer (zero vectors, F3 rule)."""
+    df, _ = tdf
+    counts = global_kmer_counts(df, k=k)
+    kw = dict(k=k, bin_size=2, bin_count=4, norm=norm)
+    b = coverage_features(df, counts, strategy="broadcast", **kw)
+    j = coverage_features(df, counts, strategy="join", **kw)
+
+    def as_map(d):
+        return {
+            (r.conv_id, int(r.turn_idx)): list(r.cov_vec)
+            for r in d.select("conv_id", "turn_idx", "cov_vec").collect()
+        }
+
+    bm, jm = as_map(b), as_map(j)
+    assert bm.keys() == jm.keys()
+    for kk in bm:
+        assert bm[kk] == jm[kk], (kk, bm[kk], jm[kk])
