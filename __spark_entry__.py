@@ -144,6 +144,30 @@ def q10_coverage(spark, sf_dir):
     )
 
 
+def q30_coverage_join(spark, sf_dir):
+    """q10's histogram through the 'join' physical strategy — the
+    k>12 scale path with no driver-side count table (exploded k-mers
+    LEFT-join counts, conditional-sum histogram). Outputs are identical
+    to the broadcast probe, so it shares q10's SQL twin."""
+    from kmertools_spark.operators import coverage_features, global_kmer_counts
+
+    t = _t(spark, sf_dir)
+    counts = global_kmer_counts(t, k=4)
+    cov = coverage_features(
+        t, counts, k=4, bin_size=4, bin_count=8, norm=False, strategy="join"
+    )
+    return (
+        cov.select("conv_id", "turn_idx", F.posexplode("cov_vec").alias("bin", "nd"))
+        .where(F.col("nd") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("bin").cast("long").alias("bin"),
+            F.col("nd").cast("long").alias("n"),
+        )
+    )
+
+
 def q11_rolling_turns(spark, sf_dir):
     """Rolling 3-turn k-mer count windows, exploded; runs the *chunked*
     (carry-replicated) path to exercise the skew machinery."""
@@ -401,6 +425,27 @@ def q35_session_vectors(spark, sf_dir):
     )
 
 
+def q38_backfill_stream(spark, sf_dir):
+    """The HEADLINE fused kernel under the oracle gate: sorted-stream
+    backfill (in-kernel sessionization + rolling 3-turn count vectors,
+    cross-batch carry, one shuffle) exploded to scalar rows. The SQL
+    twin recomputes session_seq and the rolling window relationally."""
+    from kmertools_spark.operators import backfill_features_stream
+
+    t = _t(spark, sf_dir)
+    b = backfill_features_stream(t, k=4, n_turns=3, norm=False)
+    ex = _explode_slots(
+        spark, b, "roll_vec", ["conv_id", "turn_idx", "session_seq"], "cd"
+    )
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("session_seq").cast("int").alias("session_seq"),
+        "kmer",
+        F.col("cd").cast("long").alias("cnt"),
+    )
+
+
 def q36_kmer_counts_k5(spark, sf_dir):
     """Global counts at k=5 — the whole stack (tokenizer, canonical map,
     SQL twin) parameterized away from the default k."""
@@ -528,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_session_vectors": q35_session_vectors,
         "q36_kmer_counts_k5": q36_kmer_counts_k5,
         "q37_coverage_norm": q37_coverage_norm,
+        "q38_backfill_stream": q38_backfill_stream,
+        "q30_coverage_join": q30_coverage_join,
         "q26_minimizer_runs": q26_minimizer_runs,
         "q27_rolling_session_vec": q27_rolling_session_vec,
         "q28_record_minimisers": q28_record_minimisers,

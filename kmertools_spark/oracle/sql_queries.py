@@ -141,6 +141,9 @@ occ AS (SELECT k.conv_id, k.turn_idx,
 SELECT conv_id, turn_idx, bin, CAST(count(*) AS BIGINT) AS n
 FROM occ GROUP BY conv_id, turn_idx, bin"""
 
+    # the join-strategy twin produces identical rows to q10
+    q["q30_coverage_join"] = q["q10_coverage"]
+
     q["q11_rolling_turns"] = f"""
 WITH {T}, {K4},
 ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
@@ -440,6 +443,19 @@ JOIN sess s2 ON s2.conv_id = s1.conv_id
   AND s2.session_seq = s1.session_seq AND s2.turn_idx <= s1.turn_idx
 JOIN ck c2 ON c2.conv_id = s2.conv_id AND c2.turn_idx = s2.turn_idx
 GROUP BY s1.conv_id, s1.turn_idx, c2.kmer"""
+
+    q["q38_backfill_stream"] = f"""
+WITH {T}, {SESS}, {K4},
+ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
+       FROM kmers GROUP BY conv_id, turn_idx, kmer),
+roll AS (
+  SELECT t1.conv_id, t1.turn_idx, c2.kmer, CAST(sum(c2.c) AS BIGINT) AS cnt
+  FROM t t1 JOIN ck c2 ON c2.conv_id = t1.conv_id
+    AND c2.turn_idx BETWEEN t1.turn_idx - 2 AND t1.turn_idx
+  GROUP BY t1.conv_id, t1.turn_idx, c2.kmer
+)
+SELECT r.conv_id, r.turn_idx, s.session_seq, r.kmer, r.cnt
+FROM roll r JOIN sess s ON s.conv_id = r.conv_id AND s.turn_idx = r.turn_idx"""
 
     q["q36_kmer_counts_k5"] = f"""
 WITH {T},
