@@ -115,3 +115,16 @@ def test_cosine_neardup_no_row_cartesian(spark):
     assert pack_pos != -1
     if nl_pos != -1:
         assert pack_pos > nl_pos  # pack feeds the join, not raw rows
+
+
+def test_backfill_stream_single_exchange(spark, tdf):
+    """The headline sorted-stream backfill must stay a one-shuffle plan:
+    repartition(conv_id) + sortWithinPartitions + mapInPandas, nothing
+    else (no Window pass, no extra Exchange for sessionization — it
+    happens in-kernel)."""
+    from kmertools_spark.operators import backfill_features_stream
+
+    plan = _plan(backfill_features_stream(tdf, k=4, n_turns=3))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(conv_id" in plan
+    assert "Window" not in plan
