@@ -20,6 +20,7 @@ from .similarity import (
     ann_topk_lsh,
     cosine_neardup_pairs,
     cosine_topk,
+    cosine_topk_gemm,
     hyperplane_buckets,
 )
 from .skew import salted_collect_list, salted_sum, with_salt
@@ -48,6 +49,7 @@ __all__ = [
     "ann_topk_lsh",
     "cosine_neardup_pairs",
     "cosine_topk",
+    "cosine_topk_gemm",
     "hyperplane_buckets",
     "salted_collect_list",
     "salted_sum",

@@ -16,16 +16,26 @@ from ..oracle.hashing import N_PERMS
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", digest: bool = False
 ) -> DataFrame:
     """One row per distinct text: (keep_id = min id, n_dups).
 
-    The classic hash-groupBy exact dedup; at 100 TB group on a digest
-    (xxhash64/sha2 of text) instead of the raw text to shrink the
-    shuffle — provided here via the same plan shape.
+    ``digest=False`` groups on (xxhash64, text) — byte-exact, but the
+    shuffle carries every full text. ``digest=True`` groups on
+    (sha256(text), length) only, so the exchange carries a 32-byte key
+    per row instead of the document — the 100 TB formulation (collision
+    probability ~n^2/2^257 is below hardware error rates). Same output
+    either way (equality-tested).
     """
+    if digest:
+        key = [
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("__d"),
+            F.length(text_col).alias("__l"),
+        ]
+    else:
+        key = [F.xxhash64(text_col).alias("__h"), F.col(text_col)]
     return (
-        df.groupBy(F.xxhash64(text_col).alias("__h"), F.col(text_col))
+        df.groupBy(*key)
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_dups"),

@@ -74,6 +74,71 @@ def cosine_topk(
     return out
 
 
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k via per-batch GEMM — the
+    throughput path for large query sets.
+
+    The query matrix is collected once (queries are the small side by
+    contract, same as cosine_topk's broadcast) and shipped in the UDF
+    closure; each corpus Arrow batch contributes one numpy matrix
+    product and a per-batch top-k cut, so at most batch_k rows per
+    (query, batch) reach the final global top-k window — candidate
+    traffic is O(n_batches * q * k), not O(corpus * q). Same results as
+    cosine_topk (ties by neighbor id ascending; equality-tested).
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or q_ids.size == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = (Q @ C.T) / np.maximum(np.outer(qn, cn), 1e-300)
+            S[q_ids[:, None] == ids[None, :]] = -np.inf  # exclude self-pairs
+            kk = min(k, n)
+            # per-batch cut: top kk by (cos desc, neighbor asc) per query
+            ordr = np.lexsort((ids[None, :].repeat(q_ids.size, 0), -S), axis=1)[:, :kk]
+            qi = np.repeat(np.arange(q_ids.size), kk)
+            ci = ordr.ravel()
+            cos = S[qi, ci]
+            keep = np.isfinite(cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi][keep],
+                    "neighbor_id": ids[ci][keep],
+                    "cos": cos[keep],
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    out = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if round_to is not None:
+        out = out.withColumn("cos", F.round("cos", round_to))
+    return out
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,

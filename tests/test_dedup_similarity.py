@@ -158,3 +158,38 @@ def test_cosine_neardup_blocked_matches_naive(spark, emb):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])
+
+
+def test_cosine_topk_gemm_matches_hof(spark, emb):
+    """GEMM brute-force top-k == the JVM higher-order-function top-k
+    (same ranks, same rounded cosines, same tie-breaks)."""
+    from kmertools_spark.operators import cosine_topk, cosine_topk_gemm
+
+    q = emb.where("vec_id < 10")
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+
+    def rows(d):
+        return sorted(tuple(r) for r in d.select(*cols).collect())
+
+    a = rows(cosine_topk(emb, q, k=5))
+    b = rows(cosine_topk_gemm(emb.repartition(4), q, k=5))
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[:2] == rb[:2] and ra[3] == rb[3], (ra, rb)
+        assert abs(ra[2] - rb[2]) < 2e-6, (ra, rb)
+
+
+def test_exact_dedup_digest_matches_exact(spark):
+    """sha256-digest grouping (the 100 TB shuffle-shrinking path) equals
+    byte-exact text grouping."""
+    from kmertools_spark.operators import exact_dedup
+
+    rows = [(i, f"text {i % 7}") for i in range(50)] + [(100, ""), (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in exact_dedup(docs).collect())
+    b = sorted(tuple(r) for r in exact_dedup(docs, digest=True).collect())
+    assert a == b
+    # the digest plan's exchange must not carry the text column
+    plan = exact_dedup(docs, digest=True)._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [l for l in plan.splitlines() if "Aggregate" in l]
+    assert agg_lines and all("text#" not in l.split("[")[1].split("]")[0] for l in agg_lines if "[" in l)
