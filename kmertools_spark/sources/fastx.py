@@ -10,12 +10,13 @@ extension with optional .gz suffix; '-' reads stdin with first-byte
 format sniffing (get_reader ktio/src/seq.rs:141-155 +
 composition/src/oligo.rs:96-106).
 
-Scale note: FASTA records span lines, so a plain line-based reader
-cannot split files safely; this reader is driver-side for golden
-corpora (the reference's test corpus is 2 reads). A production-scale
-FASTA source would use a custom Hadoop InputFormat or chunked
-mapPartitions with boundary handshaking — out of scope because the
-engine's real input is the transcripts table.
+Two readers: ``read_fastx`` is driver-side (golden corpora — the
+reference's test corpus is 2 reads; also the stdin path), and
+``read_fastx_distributed`` is the corpus-scale source: Spark text
+splits + a two-phase per-partition scan that assigns global record
+ordinals and handshakes FASTA records across partition boundaries
+without a custom InputFormat (equality-tested against the driver-side
+reader under forced multi-partition splits).
 """
 
 from __future__ import annotations
@@ -131,3 +132,123 @@ def write_vectors_text(
                 f.write(delim.join(f"{v:.6f}" for v in vals) + "\n")
             else:
                 f.write(delim.join(f"{int(v)}" for v in vals) + "\n")
+
+
+def read_fastx_distributed(
+    spark: SparkSession, path: str, fmt: str | None = None
+) -> DataFrame:
+    """Distributed FASTA/FASTQ source — the corpus-scale reader.
+
+    The driver-side reader above exists for byte-golden parity on the
+    reference's 2-read corpus; this one streams arbitrarily large
+    inputs (ktio/src/seq.rs:97-139's role) through Spark's text source:
+
+      * records are assigned GLOBAL ordinals with the classic two-phase
+        scan: one distributed pass counts records per partition, the
+        tiny per-partition totals come back to the driver, and their
+        exclusive prefix sum is broadcast so a second pass labels every
+        record without any shuffle or global sort;
+      * FASTA records span lines, so pass 1 also carries each
+        partition's dangling tail (the lines after its last '>') to be
+        prepended to the next partition — boundary handshaking without
+        a custom InputFormat;
+      * FASTQ is strictly 4 lines/record, so record id = line_no // 4
+        over the same per-partition line-count prefix.
+
+    Plain-text inputs split into many partitions; .gz inputs are one
+    partition per file (gzip is not splittable — use many files at
+    corpus scale). Output schema/order matches read_fastx exactly.
+    """
+    fmt = fmt or infer_format(path)
+    sc = spark.sparkContext
+    lines = spark.read.text(path).rdd.map(lambda r: r[0])
+
+    if fmt == "fastq":
+        counts = lines.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+        offs = [0]
+        for c in counts[:-1]:
+            offs.append(offs[-1] + c)
+        boffs = sc.broadcast(offs)
+
+        def label_fq(pi, it):
+            base = boffs.value[pi]
+            for j, line in enumerate(it):
+                ln = base + j
+                yield ln // 4, ln % 4, line
+
+        recs = (
+            lines.mapPartitionsWithIndex(label_fq)
+            .filter(lambda t: t[1] < 2)  # header + seq lines only
+            .map(lambda t: (t[0], (t[1], t[2])))
+            .groupByKey()
+            .map(
+                lambda kv: (
+                    kv[0],
+                    dict(kv[1])[0].strip()[1:].split()[0],
+                    dict(kv[1])[1].strip(),
+                )
+            )
+        )
+        return spark.createDataFrame(recs, SCHEMA)
+
+    # FASTA: pass 1 — per partition: header count + the "head" lines
+    # that precede its first '>' (they belong to a record owned by an
+    # earlier partition)
+    def scan_fa(pi, it):
+        n_headers = 0
+        head: list[str] = []
+        for line in it:
+            if line.startswith(">"):
+                n_headers += 1
+            elif n_headers == 0:
+                head.append(line)
+        yield pi, n_headers, head
+
+    parts = sorted(lines.mapPartitionsWithIndex(scan_fa).collect())
+    offs = [0]
+    for _, c, _ in parts[:-1]:
+        offs.append(offs[-1] + c)
+    meta = {pi: (c, head) for pi, c, head in parts}
+    b = sc.broadcast((offs, meta))
+
+    def label_fa(pi, it):
+        # items keyed by global record id; (pi, line_no) orders the
+        # record's lines across partition boundaries at assembly
+        offs, meta = b.value
+        rid = offs[pi] - 1  # last record of an earlier partition
+        own = offs[pi]  # first record this partition owns
+        for j, line in enumerate(it):
+            if line.startswith(">"):
+                rid += 1
+                yield rid, (pi, j, 0, line[1:].split()[0])
+            elif rid >= own:
+                yield rid, (pi, j, 1, line.strip())
+            # lines with rid < own are this partition's head: the owner
+            # partition emits them below
+        if meta[pi][0] == 0:
+            return  # no header here: nothing owned, no carry to claim
+        # my last record continues through the head lines of following
+        # partitions, crossing any partition that has no header at all
+        j = pi + 1
+        while j in meta:
+            nh, head = meta[j]
+            for i, line in enumerate(head):
+                yield rid, (j, i, 1, line.strip())
+            if nh > 0:
+                break
+            j += 1
+
+    def assemble(kv):
+        rid, items = kv
+        items = sorted(items, key=lambda t: (t[0], t[1]))
+        name = next(v for _, _, o, v in items if o == 0)
+        seq = "".join(v for _, _, o, v in items if o == 1)
+        return rid, name, seq
+
+    recs = (
+        lines.mapPartitionsWithIndex(label_fa)
+        .filter(lambda t: t[0] >= 0)
+        .groupByKey()
+        .map(assemble)
+    )
+    return spark.createDataFrame(recs, SCHEMA)

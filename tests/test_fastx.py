@@ -89,3 +89,49 @@ def test_read_fastx_stdin(spark, monkeypatch):
     assert rows == [(0, "Record_1", "ACGTACGTACGT")] or (
         rows[0].id == "Record_1" and rows[0].seq == "ACGTACGTACGT"
     )
+
+
+def test_distributed_reader_matches_driver_side(spark, tmp_path):
+    """read_fastx_distributed == read_fastx on multi-line FASTA and
+    FASTQ under forced multi-partition text splits (records crossing
+    partition boundaries, headerless partitions, dangling tails)."""
+    import numpy as np
+
+    from kmertools_spark.sources.fastx import read_fastx, read_fastx_distributed
+
+    rng = np.random.RandomState(7)
+    fa = tmp_path / "big.fa"
+    with open(fa, "w") as f:
+        for i in range(200):
+            f.write(f">rec_{i} extra descr\n")
+            for _ in range(int(rng.randint(1, 6))):
+                f.write("".join(rng.choice(list("ACGT"), 60)) + "\n")
+    fq = tmp_path / "big.fq"
+    with open(fq, "w") as f:
+        for i in range(300):
+            seq = "".join(rng.choice(list("ACGT"), 72))
+            f.write(f"@read_{i} meta\n{seq}\n+\n{'I' * 72}\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        for path in (str(fa), str(fq)):
+            want = sorted(tuple(r) for r in read_fastx(spark, path).collect())
+            got_df = read_fastx_distributed(spark, path)
+            assert got_df.rdd.getNumPartitions() >= 1
+            got = sorted(tuple(r) for r in got_df.collect())
+            assert got == want, path
+        # many partitions actually exercised
+        n_parts = spark.read.text(str(fa)).rdd.getNumPartitions()
+        assert n_parts > 4, n_parts
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_distributed_reader_reference_corpus(spark):
+    from kmertools_spark.sources.fastx import read_fastx, read_fastx_distributed
+
+    for p in ("/root/reference/test_data/reads.fa", "/root/reference/test_data/reads.fq"):
+        want = sorted(tuple(r) for r in read_fastx(spark, p).collect())
+        got = sorted(tuple(r) for r in read_fastx_distributed(spark, p).collect())
+        assert got == want, p
