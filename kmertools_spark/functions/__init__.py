@@ -2,7 +2,7 @@
 (SURVEY §2.2/§2.10). All pandas UDFs are Arrow-batched; pure column
 builders stay inside whole-stage codegen."""
 
-from .cgr import cgr_points
+from .cgr import cgr_points, cgr_points_with_error
 from .composition import (
     composition_vector,
     coverage_vector,
@@ -16,6 +16,7 @@ from .text import lang_guess, occurrences, quality_score, token_count
 
 __all__ = [
     "cgr_points",
+    "cgr_points_with_error",
     "composition_vector",
     "coverage_vector",
     "slot_kmer_pairs",

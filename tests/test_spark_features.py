@@ -150,3 +150,30 @@ def test_coverage_join_strategy_matches_broadcast(spark, tdf, k, norm):
     assert bm.keys() == jm.keys()
     for kk in bm:
         assert bm[kk] == jm[kk], (kk, bm[kk], jm[kk])
+
+
+def test_cgr_error_column_surface(spark):
+    """Per-row CGR error semantics: the reference raises
+    'Bad nucleotide, unable to proceed' (composition/src/cgr.rs:139);
+    the column surface carries that exact string per failing row."""
+    from kmertools_spark.functions import cgr_points_with_error
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "ACGT"), (1, "ACXGT"), (2, ""), (3, "acgtu")], "i int, s string"
+    )
+    out = {
+        r.i: (r.r["cgr"], r.r["err"])
+        for r in df.select("i", cgr_points_with_error(1.0)("s").alias("r")).collect()
+    }
+    assert out[1] == (None, "Bad nucleotide, unable to proceed")
+    assert out[0][1] is None and len(out[0][0]) == 4
+    assert out[2] == ([], None)
+    assert out[3][1] is None and len(out[3][0]) == 5
+    # parity with the raising pyapi surface
+    from kmertools_spark.pyapi import CgrComputer
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Bad nucleotide"):
+        CgrComputer(vecsize=1.0).vectorise_one("ACXGT")
