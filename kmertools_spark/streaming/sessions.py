@@ -57,3 +57,28 @@ def streaming_kmer_counts(
 
     pairs = kmer_count_pairs(stream, k=k)
     return pairs.groupBy("kmer").agg(F.sum("cnt").alias("cnt"))
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen document per sha256 digest.
+
+    The incremental form of operators.dedup.exact_dedup(digest=True):
+    dropDuplicates on the digest keeps the FIRST arrival of each
+    distinct text; the watermark bounds the digest state store (a doc
+    repeated later than the watermark re-emits — at 100 TB/day pick the
+    watermark to the dedup horizon the pipeline contracts). The state
+    key is the 32-byte digest, never the document, so state size is
+    O(distinct) regardless of text length.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("__digest", F.sha2(F.col(text_col).cast("binary"), 256))
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .select(id_col, "__digest")
+    )

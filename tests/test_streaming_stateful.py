@@ -117,3 +117,60 @@ def test_stateful_reorder_buffer_out_of_order_batches(spark, tmp_path):
     assert len(got) == len(exp)
     assert (got["session_seq"].to_numpy() == exp["session_seq"].to_numpy()).all()
     assert np.allclose(np.vstack(got["roll_vec"]), np.vstack(exp["roll_vec"]), rtol=1e-9)
+
+
+def test_streaming_exact_dedup_first_seen(spark, tmp_path):
+    """Streaming digest dedup keeps the first arrival per distinct text
+    across micro-batches and matches the batch digest dedup's keep set."""
+    import pandas as pd
+
+    from kmertools_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha", "beta", "alpha"],
+            "ts": [base, base, base + pd.Timedelta(seconds=1)],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["beta", "gamma"],  # beta is a cross-batch duplicate
+            "ts": [base + pd.Timedelta(seconds=2)] * 2,
+        }
+    )
+    b1["ts"] = b1["ts"].astype("datetime64[us]")
+    b2["ts"] = b2["ts"].astype("datetime64[us]")
+    b1.to_parquet(src / "b1.parquet")
+    df_schema = spark.read.parquet(str(src)).schema
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(df_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src)).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = tmp_path / "out"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b2.to_parquet(src / "b2.parquet")
+    q2 = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 5]  # first-seen of alpha/beta/gamma only
