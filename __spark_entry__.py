@@ -208,6 +208,26 @@ def q13_asof(spark, sf_dir):
     return asof_join(t, p, value_cols=("turn_idx", "text_len"))
 
 
+def q39_asof_broadcast(spark, sf_dir):
+    """q13's semantics through the alternative physical plan (broadcast
+    range join + per-probe top-1) — small-probe-set strategy, same
+    strict-< oracle."""
+    from kmertools_spark.operators import asof_join_broadcast
+    from kmertools_spark.sources import probes_df
+
+    t = _t(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    p = probes_df(spark, sf_dir).distinct()
+    return asof_join_broadcast(t, p, value_cols=("turn_idx", "text_len"))
+
+
+def q40_dedup_digest(spark, sf_dir):
+    """q15's exact dedup through the digest plan (group on sha256 +
+    length; the exchange never carries document text) — same oracle."""
+    from kmertools_spark.operators import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), digest=True)
+
+
 def q14_session_to_date(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -574,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_kmer_counts_k5": q36_kmer_counts_k5,
         "q37_coverage_norm": q37_coverage_norm,
         "q38_backfill_stream": q38_backfill_stream,
+        "q39_asof_broadcast": q39_asof_broadcast,
+        "q40_dedup_digest": q40_dedup_digest,
         "q30_coverage_join": q30_coverage_join,
         "q26_minimizer_runs": q26_minimizer_runs,
         "q27_rolling_session_vec": q27_rolling_session_vec,

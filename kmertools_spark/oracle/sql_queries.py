@@ -141,7 +141,7 @@ occ AS (SELECT k.conv_id, k.turn_idx,
 SELECT conv_id, turn_idx, bin, CAST(count(*) AS BIGINT) AS n
 FROM occ GROUP BY conv_id, turn_idx, bin"""
 
-    # the join-strategy twin produces identical rows to q10
+    # alternative-physical-plan twin: identical rows to q10
     q["q30_coverage_join"] = q["q10_coverage"]
 
     q["q11_rolling_turns"] = f"""
@@ -526,5 +526,9 @@ FROM walk WHERE i >= 1"""
 WITH {T}, {K4}
 SELECT conv_id, turn_idx, pos, CAST(fwd AS BIGINT) AS fwd, CAST(rc AS BIGINT) AS rc
 FROM kmers"""
+
+    # alternative-physical-plan twins: identical rows to the originals
+    q["q39_asof_broadcast"] = q["q13_asof"]
+    q["q40_dedup_digest"] = q["q15_dedup_exact"]
 
     return q
