@@ -18,6 +18,7 @@ from .sessionize import lag_lead_features, sessionize
 from .similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
+    cosine_neardup_lsh,
     cosine_neardup_pairs,
     cosine_topk,
     cosine_topk_gemm,
@@ -47,6 +48,7 @@ __all__ = [
     "sessionize",
     "ann_topk_ivf",
     "ann_topk_lsh",
+    "cosine_neardup_lsh",
     "cosine_neardup_pairs",
     "cosine_topk",
     "cosine_topk_gemm",

@@ -279,6 +279,78 @@ def ann_topk_ivf(
     )
 
 
+def cosine_neardup_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Approximate near-dup pairs: multi-table hyperplane LSH candidates
+    + exact cosine verify within candidates.
+
+    The true-near-dup scale path (high thresholds): candidate
+    generation is n_tables equi-joins on (table, bucket) — a pair of
+    vectors at angle theta collides in one table with p = (1-theta/pi)
+    ^n_planes, and across tables with 1-(1-p)^n_tables, so recall is
+    tunable and rises toward 1 as threshold -> 1. Survivors are
+    verified with the exact rounded-cosine cut, so precision is exact;
+    only recall is approximate (tested against the exact block-GEMM).
+    For exhaustive exact output use cosine_neardup_pairs.
+    """
+    tables = []
+    for t in range(n_tables):
+        b = hyperplane_buckets(df, dim, n_planes, vec_col, seed=seed + 7919 * t)
+        tables.append(
+            b.select(F.lit(t).alias("table"), F.col(id_col), F.col("bucket"))
+        )
+    banded = tables[0]
+    for t in tables[1:]:
+        banded = banded.unionByName(t)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.table") == F.col("b.table"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    vb = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

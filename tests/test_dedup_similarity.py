@@ -193,3 +193,33 @@ def test_exact_dedup_digest_matches_exact(spark):
     plan = exact_dedup(docs, digest=True)._jdf.queryExecution().optimizedPlan().toString()
     agg_lines = [l for l in plan.splitlines() if "Aggregate" in l]
     assert agg_lines and all("text#" not in l.split("[")[1].split("]")[0] for l in agg_lines if "[" in l)
+
+
+def test_cosine_neardup_lsh_recall_and_precision(spark):
+    """LSH near-dup: precision exact (every emitted pair passes the
+    rounded-cosine cut), recall high at near-dup thresholds (planted
+    near-identical vectors collide in some table)."""
+    from kmertools_spark.operators import cosine_neardup_lsh, cosine_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((60, 16))
+    base[30:60] = base[0:30] + 0.02 * rng.standard_normal((30, 16))  # near-dups
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [r.tolist() for r in base]})
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs(emb, threshold=0.98, n_blocks=2).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_lsh(
+            emb, dim=16, threshold=0.98, n_planes=6, n_tables=6
+        ).collect()
+    }
+    assert set(approx) <= set(exact)  # exact precision
+    for k, v in approx.items():
+        assert v == exact[k]
+    recall = len(approx) / max(1, len(exact))
+    assert len(exact) >= 25  # the planted pairs are found by the exact path
+    assert recall >= 0.8, (recall, len(exact), len(approx))
