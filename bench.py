@@ -83,9 +83,14 @@ def main() -> None:
     # (numpy + kmertools_spark, ~2s cold) BEFORE the timed legs, or the
     # first leg measures a 1-per-core import stampede instead of
     # compute. Each warm pass spreads a small slice over `cpus`
-    # partitions so all workers load the module the leg will use.
+    # partitions so all workers load the module the leg will use; the
+    # tiny end-to-end dedup run additionally JIT-warms the join codegen.
     force(backfill_features_stream(t.limit(1024).repartition(cpus), k=4, n_turns=3))
-    force(minhash_signatures(docs.limit(256).repartition(cpus)))
+    force(
+        lsh_candidate_pairs(
+            minhash_signatures(docs.limit(256).repartition(cpus)), bands=4
+        )
+    )
 
     t0 = time.time()
     rows = force(backfill_features_stream(t, k=4, n_turns=3))
