@@ -134,6 +134,51 @@ def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
     return df.mapInPandas(gen, schema)
 
 
+def media_resize(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
+    """Resize images to (out_w, out_h): one row per media with the
+    resized raw RGB payload + updated meta.
+
+    Decode is the stubbed per-payload step (real-codec integration
+    point, as in media_features); the resample itself is nearest-
+    neighbor via pure numpy index gather — per batch, one gather per
+    image (vectorizable further with a real codec's SIMD path). Output
+    payload is raw interleaved RGB bytes (out_h x out_w x 3), the shape
+    a downstream feature extractor or encoder consumes.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0:
+                continue
+            out_payload = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                img = _decode_rgb(bytes(p), m["width"], m["height"])
+                ys = (np.arange(out_h) * img.shape[0] // out_h).astype(np.int64)
+                xs = (np.arange(out_w) * img.shape[1] // out_w).astype(np.int64)
+                out_payload.append(img[ys[:, None], xs[None, :]].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "payload": out_payload,
+                    "width": np.full(k, out_w, dtype=np.int32),
+                    "height": np.full(k, out_h, dtype=np.int32),
+                }
+            )
+
+    return df.select("media_id", "kind", "payload", "meta").mapInPandas(gen, schema)
+
+
 def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index.
 

@@ -122,3 +122,19 @@ def test_frame_sample(spark):
     vids = media.where("kind = 'video'").select("media_id", "meta.n_frames").toPandas()
     exp = sum(len(range(0, int(n), 2)) for n in vids["n_frames"])
     assert len(frames) == exp
+
+
+def test_media_resize_shapes_and_determinism(spark):
+    import numpy as np
+
+    from kmertools_spark.sources.multimodal import media_resize, synth_media
+
+    media = synth_media(spark, n=12)
+    out = {r.media_id: r for r in media_resize(media, out_w=16, out_h=8).collect()}
+    assert len(out) == 12
+    for r in out.values():
+        assert r.width == 16 and r.height == 8
+        assert len(bytes(r.payload)) == 16 * 8 * 3
+    # deterministic across runs
+    again = {r.media_id: bytes(r.payload) for r in media_resize(media, 16, 8).collect()}
+    assert {k: bytes(v.payload) for k, v in out.items()} == again
