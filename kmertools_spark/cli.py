@@ -170,9 +170,11 @@ def cmd_cov(a) -> int:
         for r in counts.orderBy("kmer").collect():
             f.write(f"{r.kmer}\t{r.cnt}\n")
     norm = not a.counts
+    # the fastx frame is keyed by record ordinal `n`, not transcript
+    # keys — pass it so the k>12 join strategy works through the CLI
     cov = coverage_features(
         df, counts, k=a.k_size, bin_size=a.bin_size, bin_count=a.bin_count,
-        norm=norm,
+        norm=norm, keys=("n",),
     )
     write_vectors_text(
         cov, os.path.join(a.output, "kmers.vectors"),

@@ -87,19 +87,27 @@ def asof_join_broadcast(
     value_cols: tuple[str, ...] = ("turn_idx",),
 ) -> DataFrame:
     """Alternative plan for small probe sets: broadcast range join +
-    per-probe top-1 (row_number). Same strict-< semantics."""
+    per-probe top-1 (row_number). Same strict-< semantics (incl. null
+    rows for probes no feature precedes).
+
+    Spark cannot broadcast the preserved side of an outer join (the
+    hint is silently dropped for `build left / left outer`), so the
+    match step is an INNER join — genuinely broadcastable both ways —
+    and unmatched probes are re-added with a broadcast anti-join. Both
+    joins are BroadcastHashJoins (plan-asserted).
+    """
     j = F.broadcast(probes.alias("p")).join(
         features.alias("f"),
         on=[
             F.col(f"p.{on}") == F.col(f"f.{on}"),
             F.col(f"f.{ts_col}") < F.col(f"p.{probe_ts_col}"),
         ],
-        how="left",
+        how="inner",
     )
     w = Window.partitionBy(f"p.{on}", f"p.{probe_ts_col}").orderBy(
         F.col(f"f.{ts_col}").desc(), F.col("f.turn_idx").desc()
     )
-    out = (
+    matched = (
         j.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(
@@ -108,4 +116,19 @@ def asof_join_broadcast(
             *[F.col(f"f.{c}").alias(f"asof_{c}") for c in value_cols],
         )
     )
-    return out
+    hit_keys = matched.select(on, probe_ts_col)
+    missed = (
+        probes.select(F.col(on), F.col(probe_ts_col))
+        .join(F.broadcast(hit_keys), [on, probe_ts_col], "left_anti")
+        .select(
+            on,
+            probe_ts_col,
+            *[
+                F.lit(None)
+                .cast(features.schema[c].dataType)
+                .alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    )
+    return matched.unionByName(missed)

@@ -225,11 +225,14 @@ def _jaccard_from_inter(
     inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """(id_a, id_b, inter) + per-doc set sizes -> thresholded Jaccard."""
+    # plain equi-joins: sizes is O(n_docs) rows — forcing a broadcast
+    # here would collect the whole corpus's doc list to the driver at
+    # scale; AQE broadcasts automatically when it is actually small
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

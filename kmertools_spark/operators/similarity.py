@@ -94,6 +94,10 @@ def cosine_topk_gemm(
     cosine_topk (ties by neighbor id ascending; equality-tested).
     """
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))

@@ -88,6 +88,28 @@ def shingle_cte(width: int, src: str = "documents", id_col: str = "doc_id") -> s
 """
 
 
+def minhash_banded_ctes(rows_per_band: int = 4) -> str:
+    """``sig`` + ``banded`` + ``cand`` CTEs over a ``sh`` shingle CTE —
+    the MinHash banding chain shared by the LSH queries (q17/q19/q32).
+    ``cand`` is the distinct (id_a, id_b) candidate-pair set."""
+    return f"""
+sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
+  FROM sh CROSS JOIN {perm_values()}
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, perm // {rows_per_band} AS band,
+    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
+  FROM sig GROUP BY doc_id, perm // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+
 def minimiser_spans_ctes(w: int, m: int) -> str:
     """CTE chain deriving the windowed (w>0) minimizer runs in pure SQL.
 

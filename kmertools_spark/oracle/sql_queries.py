@@ -16,6 +16,7 @@ from .sql import (
     decode_expr,
     gram_cte,
     kmer_cte,
+    minhash_banded_ctes,
     minimiser_spans_ctes,
     perm_values,
     shingle_cte,
@@ -194,19 +195,8 @@ GROUP BY doc_id, perm"""
 
     q["q17_lsh_candidates"] = f"""
 WITH sh AS ({shingle_cte(8)}),
-sig AS (
-  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
-  FROM sh CROSS JOIN {perm_values()}
-  GROUP BY doc_id, perm
-),
-banded AS (
-  SELECT doc_id, perm // 4 AS band,
-    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
-  FROM sig GROUP BY doc_id, perm // 4
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+{minhash_banded_ctes(4)}
+SELECT id_a, id_b FROM cand"""
 
     bits_values = ", ".join(f"({b}, {2 ** b})" for b in range(16))
     q["q18_simhash"] = f"""
@@ -221,21 +211,7 @@ SELECT doc_id, CAST(sum(bit * p) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
 
     q["q19_jaccard"] = f"""
 WITH sh AS ({shingle_cte(8)}),
-sig AS (
-  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
-  FROM sh CROSS JOIN {perm_values()}
-  GROUP BY doc_id, perm
-),
-banded AS (
-  SELECT doc_id, perm // 4 AS band,
-    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
-  FROM sig GROUP BY doc_id, perm // 4
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+{minhash_banded_ctes(4)},
 g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
   FROM (SELECT doc_id, text,
@@ -367,21 +343,7 @@ FROM cnts ORDER BY cnt DESC, kmer LIMIT 50"""
 
     q["q32_dedup_clusters"] = f"""
 WITH RECURSIVE sh AS ({shingle_cte(8)}),
-sig AS (
-  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
-  FROM sh CROSS JOIN {perm_values()}
-  GROUP BY doc_id, perm
-),
-banded AS (
-  SELECT doc_id, perm // 4 AS band,
-    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key
-  FROM sig GROUP BY doc_id, perm // 4
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+{minhash_banded_ctes(4)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM cand
   UNION SELECT id_b, id_a FROM cand

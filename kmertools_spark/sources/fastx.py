@@ -135,7 +135,10 @@ def write_vectors_text(
 
 
 def read_fastx_distributed(
-    spark: SparkSession, path: str, fmt: str | None = None
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed FASTA/FASTQ source — the corpus-scale reader.
 
@@ -158,10 +161,19 @@ def read_fastx_distributed(
     Plain-text inputs split into many partitions; .gz inputs are one
     partition per file (gzip is not splittable — use many files at
     corpus scale). Output schema/order matches read_fastx exactly.
+
+    Splits come from ``sc.textFile`` (Hadoop TextInputFormat), whose
+    partition order is per-file offset order with files in listing
+    order — the stitching below depends on that. The DataFrame text
+    source is NOT usable here: its FilePartition packing sorts splits
+    by length descending, which would scramble multi-file ordinals and
+    corrupt cross-partition record assembly.
     """
     fmt = fmt or infer_format(path)
     sc = spark.sparkContext
-    lines = spark.read.text(path).rdd.map(lambda r: r[0])
+    lines = (
+        sc.textFile(path, min_partitions) if min_partitions else sc.textFile(path)
+    )
 
     if fmt == "fastq":
         counts = lines.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
@@ -176,18 +188,21 @@ def read_fastx_distributed(
                 ln = base + j
                 yield ln // 4, ln % 4, line
 
+        def assemble_fq(kv):
+            d = dict(kv[1])
+            if 0 not in d:  # truncated leading fragment: no header line
+                return None
+            # missing seq line (truncated trailing record) -> empty seq,
+            # matching the driver-side reader's readline() behavior
+            return kv[0], d[0].strip()[1:].split()[0], d.get(1, "").strip()
+
         recs = (
             lines.mapPartitionsWithIndex(label_fq)
             .filter(lambda t: t[1] < 2)  # header + seq lines only
             .map(lambda t: (t[0], (t[1], t[2])))
             .groupByKey()
-            .map(
-                lambda kv: (
-                    kv[0],
-                    dict(kv[1])[0].strip()[1:].split()[0],
-                    dict(kv[1])[1].strip(),
-                )
-            )
+            .map(assemble_fq)
+            .filter(lambda t: t is not None)
         )
         return spark.createDataFrame(recs, SCHEMA)
 

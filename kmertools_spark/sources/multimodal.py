@@ -109,8 +109,12 @@ def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
             sizes = np.fromiter((im.size for im in imgs), dtype=np.int64, count=k)
             flat = np.concatenate([im.ravel() for im in imgs])
             rows = np.repeat(np.arange(k), sizes)
+            # uniform byte-value bins for ANY n_bins (for n_bins=8 this
+            # equals the classic >>5); computed in int64 so the row
+            # offset math can never spill into a neighbor's histogram
+            bins = (flat.astype(np.int64) * n_bins) >> 8
             hist = (
-                np.bincount(rows * n_bins + (flat >> 5), minlength=k * n_bins)
+                np.bincount(rows * n_bins + bins, minlength=k * n_bins)
                 .reshape(k, n_bins)
                 .astype(np.float64)
             )

@@ -77,7 +77,13 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
                 )
         elif ak == "i":
             av, bv = a[c], b[c]
-            eq = ((av == bv) | (av.isna() & bv.isna())).to_numpy(dtype=bool)
+            # fillna(False): a null-vs-value mismatch must report as a
+            # failing row, not crash the harness mid-run
+            eq = (
+                ((av == bv) | (av.isna() & bv.isna()))
+                .fillna(False)
+                .to_numpy(dtype=bool)
+            )
             if not eq.all():
                 i = int(np.flatnonzero(~eq)[0])
                 problems.append(f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}")

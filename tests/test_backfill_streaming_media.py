@@ -138,3 +138,23 @@ def test_media_resize_shapes_and_determinism(spark):
     # deterministic across runs
     again = {r.media_id: bytes(r.payload) for r in media_resize(media, 16, 8).collect()}
     assert {k: bytes(v.payload) for k, v in out.items()} == again
+
+
+def test_media_features_nonstandard_bins_row_isolation(spark):
+    """n_bins != 8 must keep histograms row-local (review finding:
+    the shift-based bin index spilled into the neighbor's slots)."""
+    import numpy as np
+    import pandas as pd
+
+    from kmertools_spark.sources.multimodal import MEDIA_SCHEMA, media_features
+
+    rows = [
+        (0, "image", bytearray(b"\xff" * 64), (4, 4, 1, "x")),
+        (1, "image", bytearray(b"\x00" * 64), (4, 4, 1, "x")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: list(r.feat) for r in media_features(df, n_bins=4).collect()}
+    # image 0: all bytes 255 -> last bin only; image 1: all 0 -> first bin
+    assert out[0][3:] == [0.0, 0.0, 0.0, 1.0]
+    assert out[1][3:] == [1.0, 0.0, 0.0, 0.0]
+    assert out[0][:3] == [1.0, 1.0, 1.0] and out[1][:3] == [0.0, 0.0, 0.0]

@@ -127,3 +127,12 @@ def test_cli_stdin_pipe(tmp_path):
         )
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert open(out, "rb").read() == open(f"{REF}/expected_fa.kmers", "rb").read()
+
+
+def test_cli_cov_k13_join_strategy(spark, tmp_path):
+    """cov with k in 13..=31 (auto -> join strategy) must run through
+    the CLI's fastx frame (keys=('n',)) — review finding r2."""
+    out = str(tmp_path / "cov13")
+    assert main(["cov", "-i", FQ, "-o", out, "-k", "13", "-s", "5", "-c", "5"]) == 0
+    lines = open(f"{out}/kmers.vectors").read().splitlines()
+    assert len(lines) == 2 and all(len(l.split()) == 5 for l in lines)

@@ -223,3 +223,13 @@ def test_cosine_neardup_lsh_recall_and_precision(spark):
     recall = len(approx) / max(1, len(exact))
     assert len(exact) >= 25  # the planted pairs are found by the exact path
     assert recall >= 0.8, (recall, len(exact), len(approx))
+
+
+def test_cosine_topk_gemm_empty_queries(spark, emb):
+    from kmertools_spark.operators import cosine_topk_gemm
+
+    out = cosine_topk_gemm(emb, emb.where("vec_id < 0"), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank",
+    ]

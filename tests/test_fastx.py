@@ -135,3 +135,45 @@ def test_distributed_reader_reference_corpus(spark):
         want = sorted(tuple(r) for r in read_fastx(spark, p).collect())
         got = sorted(tuple(r) for r in read_fastx_distributed(spark, p).collect())
         assert got == want, p
+
+
+def test_distributed_reader_multifile_directory(spark, tmp_path):
+    """Multi-file inputs must keep per-file offset order (the DataFrame
+    text source's size-sorted split packing scrambled it — review
+    finding); records crossing split boundaries within each file must
+    still assemble correctly."""
+    import numpy as np
+
+    from kmertools_spark.sources.fastx import read_fastx, read_fastx_distributed
+
+    rng = np.random.RandomState(13)
+    d = tmp_path / "many"
+    d.mkdir()
+    # deliberately unequal file sizes so size-sorted packing would differ
+    for fi, n_rec in enumerate([50, 5, 120]):
+        with open(d / f"part{fi}.fa", "w") as f:
+            for i in range(n_rec):
+                f.write(f">f{fi}_r{i}\n")
+                for _ in range(int(rng.randint(1, 5))):
+                    f.write("".join(rng.choice(list("ACGT"), 60)) + "\n")
+    got = read_fastx_distributed(spark, str(d / "*.fa"), min_partitions=16)
+    gotrows = {r.id: r.seq for r in got.collect()}
+    # reference: driver-side read of each file
+    want = {}
+    for fi in range(3):
+        for r in read_fastx(spark, str(d / f"part{fi}.fa")).collect():
+            want[r.id] = r.seq
+    assert gotrows == want
+    # ordinals unique and dense
+    ns = sorted(r.n for r in got.collect())
+    assert ns == list(range(len(want)))
+
+
+def test_distributed_fastq_truncated_trailing_record(spark, tmp_path):
+    from kmertools_spark.sources.fastx import read_fastx, read_fastx_distributed
+
+    p = tmp_path / "trunc.fq"
+    p.write_text("@r0 x\nACGT\n+\nIIII\n@r1 y\n")  # header only, no seq
+    want = sorted(tuple(r) for r in read_fastx(spark, str(p)).collect())
+    got = sorted(tuple(r) for r in read_fastx_distributed(spark, str(p)).collect())
+    assert got == want == [(0, "r0", "ACGT"), (1, "r1", "")]

@@ -128,3 +128,17 @@ def test_backfill_stream_single_exchange(spark, tdf):
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(conv_id" in plan
     assert "Window" not in plan
+
+
+def test_asof_broadcast_plan_is_broadcast(spark, tdf):
+    """asof_join_broadcast must produce genuine BroadcastHashJoins
+    (Spark silently drops a broadcast hint on the preserved side of an
+    outer join — the inner+anti formulation keeps it real)."""
+    from kmertools_spark.operators import asof_join_broadcast
+
+    probes = spark.createDataFrame(
+        tdf.select("conv_id", "ts").limit(5).toPandas().rename(columns={"ts": "probe_ts"})
+    )
+    plan = _plan(asof_join_broadcast(tdf, probes))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
