@@ -269,6 +269,17 @@ def q17_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=4)
 
 
+def q41_lsh_capped(spark, sf_dir):
+    """The hot-band cap under the oracle: buckets larger than
+    max_bucket=2 emit star edges to the bucket minimum instead of all
+    pairs (connectivity-exact flood control); the SQL twin replays the
+    same size-gated branch."""
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return lsh_candidate_pairs(sigs, bands=4, max_bucket=2)
+
+
 def q18_simhash(spark, sf_dir):
     from kmertools_spark.operators import simhash_buckets
 
@@ -596,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_backfill_stream": q38_backfill_stream,
         "q39_asof_broadcast": q39_asof_broadcast,
         "q40_dedup_digest": q40_dedup_digest,
+        "q41_lsh_capped": q41_lsh_capped,
         "q30_coverage_join": q30_coverage_join,
         "q26_minimizer_runs": q26_minimizer_runs,
         "q27_rolling_session_vec": q27_rolling_session_vec,

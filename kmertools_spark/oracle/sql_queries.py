@@ -493,4 +493,30 @@ FROM kmers"""
     q["q39_asof_broadcast"] = q["q13_asof"]
     q["q40_dedup_digest"] = q["q15_dedup_exact"]
 
+    # hot-band cap semantics (operators/dedup.lsh_candidate_pairs
+    # max_bucket=2): small buckets pair fully, flooded buckets emit
+    # star edges to the bucket minimum
+    q["q41_lsh_capped"] = f"""
+WITH sh AS ({shingle_cte(8)}),
+{minhash_banded_ctes(4)},
+sized AS (
+  SELECT doc_id, band, key,
+    count(*) OVER (PARTITION BY band, key) AS n,
+    min(doc_id) OVER (PARTITION BY band, key) AS mn
+  FROM banded
+),
+small AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE a.n <= 2
+),
+star AS (
+  SELECT mn AS id_a, doc_id AS id_b FROM sized
+  WHERE n > 2 AND doc_id <> mn
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT * FROM small UNION ALL SELECT * FROM star
+) _u"""
+
     return q
