@@ -269,6 +269,15 @@ def q17_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=4)
 
 
+def q42_dedup_pipeline(spark, sf_dir):
+    """The complete training-data dedup pipeline under the oracle:
+    MinHash -> LSH -> candidate-driven Jaccard verify -> connected
+    components -> (doc_id, cluster_id, keep)."""
+    from kmertools_spark.operators import dedup_keep
+
+    return dedup_keep(_docs(spark, sf_dir), bands=4, n=4, threshold=0.4)
+
+
 def q41_lsh_capped(spark, sf_dir):
     """The hot-band cap under the oracle: buckets larger than
     max_bucket=2 emit star edges to the bucket minimum instead of all
@@ -608,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_asof_broadcast": q39_asof_broadcast,
         "q40_dedup_digest": q40_dedup_digest,
         "q41_lsh_capped": q41_lsh_capped,
+        "q42_dedup_pipeline": q42_dedup_pipeline,
         "q30_coverage_join": q30_coverage_join,
         "q26_minimizer_runs": q26_minimizer_runs,
         "q27_rolling_session_vec": q27_rolling_session_vec,

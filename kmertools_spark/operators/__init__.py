@@ -6,6 +6,7 @@ from .counts import coverage_features, global_kmer_counts
 from .dedup import (
     char_ngrams,
     dedup_clusters,
+    dedup_keep,
     exact_dedup,
     jaccard_for_pairs,
     jaccard_pairs,
@@ -35,6 +36,7 @@ __all__ = [
     "global_kmer_counts",
     "char_ngrams",
     "dedup_clusters",
+    "dedup_keep",
     "exact_dedup",
     "jaccard_for_pairs",
     "jaccard_pairs",

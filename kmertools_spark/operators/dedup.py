@@ -246,6 +246,38 @@ def _jaccard_from_inter(
     )
 
 
+def dedup_keep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_bucket: int | None = None,
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The complete near-dup pipeline as one operator:
+    MinHash -> LSH banding (optionally hot-band-capped) -> candidate-
+    driven n-gram Jaccard verify -> connected components -> keep list.
+
+    Returns (id, cluster_id, keep): every document labeled with its
+    verified near-dup cluster and keep = (doc is the cluster minimum) —
+    the row a training-data pipeline filters on. Every stage is the
+    scale-safe formulation (band equi-join, pairs-driven grams, star
+    edges under the cap, pointer-jumping components).
+    """
+    sigs = minhash_signatures(docs, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, max_bucket=max_bucket)
+    verified = jaccard_for_pairs(
+        cand, docs, id_col, text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(verified, docs.select(id_col), id_col)
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -519,4 +519,41 @@ SELECT DISTINCT id_a, id_b FROM (
   SELECT * FROM small UNION ALL SELECT * FROM star
 ) _u"""
 
+    # the full dedup pipeline: candidates -> jaccard verify -> components
+    q["q42_dedup_pipeline"] = f"""
+WITH RECURSIVE sh AS ({shingle_cte(8)}),
+{minhash_banded_ctes(4)},
+g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
+        FROM documents) _
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN g a ON a.doc_id = c.id_a
+  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
+),
+ver AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+       (node = min(r)) AS keep
+FROM reach GROUP BY node"""
+
     return q
