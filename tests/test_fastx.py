@@ -177,3 +177,46 @@ def test_distributed_fastq_truncated_trailing_record(spark, tmp_path):
     want = sorted(tuple(r) for r in read_fastx(spark, str(p)).collect())
     got = sorted(tuple(r) for r in read_fastx_distributed(spark, str(p)).collect())
     assert got == want == [(0, "r0", "ACGT"), (1, "r1", "")]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except Exception:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n_recs=st.integers(min_value=0, max_value=40),
+        line_lens=st.integers(min_value=1, max_value=4),
+        parts=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def test_property_distributed_fasta(spark, n_recs, line_lens, parts, seed):
+        """Random FASTA corpora under random split counts: the
+        distributed reader must equal the driver-side reader exactly
+        (session-scoped spark fixture is safe under hypothesis)."""
+        import tempfile
+
+        import numpy as np
+
+        from kmertools_spark.sources.fastx import read_fastx, read_fastx_distributed
+
+        rng = np.random.RandomState(seed)
+        tf = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+        p = tf.name
+        with tf as f:
+            for i in range(n_recs):
+                f.write(f">r{i} d\n")
+                for _ in range(int(rng.randint(1, line_lens + 1))):
+                    f.write("".join(rng.choice(list("ACGT"), int(rng.randint(1, 40)))) + "\n")
+        want = sorted(tuple(r) for r in read_fastx(spark, str(p)).collect())
+        got = sorted(
+            tuple(r)
+            for r in read_fastx_distributed(spark, str(p), min_partitions=parts).collect()
+        )
+        assert got == want
