@@ -264,6 +264,13 @@ def dedup_keep(
     the row a training-data pipeline filters on. Every stage is the
     scale-safe formulation (band equi-join, pairs-driven grams, star
     edges under the cap, pointer-jumping components).
+
+    Cap caveat: with ``max_bucket`` set, flooded buckets contribute
+    star edges only, so the Jaccard verify sees (min, other) pairs — a
+    member similar to the bucket but not to its minimum can lose a
+    connection that all-pairs banding would have kept. Flooded buckets
+    are near-identical in practice (that is why they flood); leave the
+    cap None when exact pair semantics matter (the gate's q42 does).
     """
     sigs = minhash_signatures(docs, id_col, text_col)
     cand = lsh_candidate_pairs(sigs, id_col, bands, max_bucket=max_bucket)
