@@ -269,6 +269,23 @@ def q17_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=4)
 
 
+def q43_deterministic_sample(spark, sf_dir):
+    """Deterministic hash-gated sampling (reproducible across engines,
+    partitionings, and retries) with disjoint train/val slices —
+    membership is a pure function of the row key and the shared hash
+    constants, so the SQL twin matches exactly."""
+    from kmertools_spark.operators import sample_slice
+
+    d = _docs(spark, sf_dir)
+    train = sample_slice(d, "doc_id", 0.0, 0.8).select(
+        "doc_id", F.lit("train").alias("split")
+    )
+    val = sample_slice(d, "doc_id", 0.8, 1.0).select(
+        "doc_id", F.lit("val").alias("split")
+    )
+    return train.unionByName(val)
+
+
 def q42_dedup_pipeline(spark, sf_dir):
     """The complete training-data dedup pipeline under the oracle:
     MinHash -> LSH -> candidate-driven Jaccard verify -> connected
@@ -618,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_dedup_digest": q40_dedup_digest,
         "q41_lsh_capped": q41_lsh_capped,
         "q42_dedup_pipeline": q42_dedup_pipeline,
+        "q43_deterministic_sample": q43_deterministic_sample,
         "q30_coverage_join": q30_coverage_join,
         "q26_minimizer_runs": q26_minimizer_runs,
         "q27_rolling_session_vec": q27_rolling_session_vec,

@@ -15,6 +15,7 @@ from .dedup import (
     simhash_buckets,
 )
 from .rolling import backfill_features, backfill_features_stream, rolling_turn_vectors
+from .sampling import deterministic_sample, sample_gate, sample_slice
 from .sessionize import lag_lead_features, sessionize
 from .similarity import (
     ann_topk_ivf,
@@ -43,6 +44,9 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "simhash_buckets",
+    "deterministic_sample",
+    "sample_gate",
+    "sample_slice",
     "backfill_features",
     "backfill_features_stream",
     "rolling_turn_vectors",

@@ -1,0 +1,57 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-stable only per partitioning; these samplers gate
+on a hash of the ROW KEY, so membership is a pure function of the data
+— reproducible across engines, partitionings, retries, and days, and
+expressible in plain SQL (the constants are the engine's shared
+oracle-hashing parameters, so the DuckDB twin matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.hashing import MOD, PERM_A, PERM_B
+
+# the first MinHash permutation doubles as the sampling hash: fixed
+# forever, mirrored into oracle SQL
+SAMPLE_A = int(PERM_A[0])
+SAMPLE_B = int(PERM_B[0])
+
+
+def sample_gate(id_col: Column, pct: float) -> Column:
+    """Boolean column: deterministic ``pct``-fraction membership.
+
+    gate(id) = ((A*id + B) mod P) < pct * P over the engine's shared
+    hash constants; exact int64 (A, B < P = 1e9+7, ids < 2^33 keep the
+    product < 2^63).
+    """
+    threshold = int(pct * MOD)
+    h = F.pmod(F.lit(SAMPLE_A) * id_col.cast("long") + F.lit(SAMPLE_B), F.lit(MOD))
+    return h < F.lit(threshold)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, pct: float
+) -> DataFrame:
+    """Keep a deterministic ``pct`` fraction of rows keyed by ``id_col``.
+
+    Pure filter — pushes down to the scan, no shuffle, no RNG state;
+    disjoint samples compose ([0.0-0.1) vs [0.1-0.2)) via sample_slice.
+    """
+    return df.where(sample_gate(F.col(id_col), pct))
+
+
+def sample_slice(df: DataFrame, id_col: str, lo: float, hi: float) -> DataFrame:
+    """Rows whose hash falls in [lo, hi) — disjoint, composable slices
+    (train/val/test splits that never leak into each other)."""
+    h = F.pmod(
+        F.lit(SAMPLE_A) * F.col(id_col).cast("long") + F.lit(SAMPLE_B), F.lit(MOD)
+    )
+    return df.where((h >= F.lit(int(lo * MOD))) & (h < F.lit(int(hi * MOD))))
+
+
+def sample_sql_gate(id_expr: str, pct: float) -> str:
+    """The DuckDB twin of sample_gate (same constants, same math)."""
+    return f"(({SAMPLE_A} * {id_expr} + {SAMPLE_B}) % {MOD}) < {int(pct * MOD)}"

@@ -519,6 +519,18 @@ SELECT DISTINCT id_a, id_b FROM (
   SELECT * FROM small UNION ALL SELECT * FROM star
 ) _u"""
 
+    from ..operators.sampling import MOD as _SMOD
+    from ..operators.sampling import SAMPLE_A, SAMPLE_B
+
+    q["q43_deterministic_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, (({SAMPLE_A} * doc_id + {SAMPLE_B}) % {_SMOD}) AS hv
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN hv < {int(0.8 * _SMOD)} THEN 'train' ELSE 'val' END AS split
+FROM h"""
+
     # the full dedup pipeline: candidates -> jaccard verify -> components
     q["q42_dedup_pipeline"] = f"""
 WITH RECURSIVE sh AS ({shingle_cte(8)}),

@@ -233,3 +233,22 @@ def test_cosine_topk_gemm_empty_queries(spark, emb):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "cos", "rank",
     ]
+
+
+def test_deterministic_sample_properties(spark):
+    """Hash-gated sampling: membership is partitioning-independent,
+    slices are disjoint and exhaustive, and the fraction is near pct."""
+    from kmertools_spark.operators import deterministic_sample, sample_slice
+
+    ids = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = set(r.doc_id for r in deterministic_sample(ids, "doc_id", 0.3).collect())
+    b = set(
+        r.doc_id
+        for r in deterministic_sample(ids.repartition(17), "doc_id", 0.3).collect()
+    )
+    assert a == b  # partitioning-independent
+    assert 0.25 < len(a) / 5000 < 0.35
+    lo = set(r.doc_id for r in sample_slice(ids, "doc_id", 0.0, 0.8).collect())
+    hi = set(r.doc_id for r in sample_slice(ids, "doc_id", 0.8, 1.0).collect())
+    assert lo.isdisjoint(hi)
+    assert len(lo) + len(hi) == 5000
