@@ -90,6 +90,7 @@ no coordination beyond the shuffles shown in docs/SCALE.md.
 |---|---|---|---|---|---|
 | local[1] -> local[4] | 2,000,000 | 18,674 | 65,790 | **0.881** | r1 |
 | local[2] -> local[8] (r2: fleet warm-up) | 2,000,000 | 30,390 | 104,365 | **0.859** | r2 |
+| local[2] -> local[8] (r2 final: u32 tokenizer) | 2,000,000 | 37,149 | 125,848 | **0.847** | r2 |
 | local[2] -> local[8] (pre-kernel-opt) | 4,000,000 | 26,706 | 92,233 | 0.863 | r1 |
 | local[2] -> local[8] (post-kernel-opt) | 4,000,000 | 38,784 | 96,241 | 0.620 | r1 |
 
