@@ -76,8 +76,12 @@ def streaming_exact_dedup(
     key is the 32-byte digest, never the document, so state size is
     O(distinct) regardless of text length.
     """
+    # withWatermark requires TIMESTAMP; parquet event time often arrives
+    # as TIMESTAMP_NTZ (reinterpretation is exact under the engine's
+    # session TZ=UTC pin)
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
         .withColumn("__digest", F.sha2(F.col(text_col).cast("binary"), 256))
         .dropDuplicatesWithinWatermark(["__digest"])
         .select(id_col, "__digest")
