@@ -130,6 +130,33 @@ def test_backfill_stream_single_exchange(spark, tdf):
     assert "Window" not in plan
 
 
+def test_fastx_distributed_zero_shuffle(spark, tmp_path):
+    """The corpus-scale fastx reader must be Scan(split descriptors) ->
+    MapInPandas with NO Exchange anywhere: record bytes go straight from
+    storage to Arrow batches; boundary records are completed by byte-
+    range overscan, never shuffled (round-2 verdict item 1)."""
+    import numpy as np
+
+    from kmertools_spark.sources.fastx import read_fastx_distributed
+
+    rng = np.random.RandomState(3)
+    fa = tmp_path / "p.fa"
+    with open(fa, "w") as f:
+        for i in range(50):
+            f.write(f">r{i}\n" + "".join(rng.choice(list("ACGT"), 60)) + "\n")
+    fq = tmp_path / "p.fq"
+    with open(fq, "w") as f:
+        for i in range(50):
+            s = "".join(rng.choice(list("ACGT"), 60))
+            f.write(f"@r{i}\n{s}\n+\n{'I' * 60}\n")
+    for p in (str(fa), str(fq)):
+        df = read_fastx_distributed(spark, p, min_partitions=7)
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan
+        assert df.rdd.getNumPartitions() >= 7
+
+
 def test_asof_broadcast_plan_is_broadcast(spark, tdf):
     """asof_join_broadcast must produce genuine BroadcastHashJoins
     (Spark silently drops a broadcast hint on the preserved side of an
