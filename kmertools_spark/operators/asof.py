@@ -95,7 +95,15 @@ def asof_join_broadcast(
     match step is an INNER join — genuinely broadcastable both ways —
     and unmatched probes are re-added with a broadcast anti-join. Both
     joins are BroadcastHashJoins (plan-asserted).
+
+    Duplicate probe rows are preserved (same multiplicity as
+    asof_join): the core runs on DISTINCT (on, probe_ts) keys and the
+    result is fanned back out by a final broadcast join against the
+    original probe rows (r2 ADVICE item 3 — the matched branch used to
+    collapse duplicates while the missed branch kept them).
     """
+    probe_keys = probes.select(F.col(on), F.col(probe_ts_col))
+    probes = probe_keys.distinct()
     j = F.broadcast(probes.alias("p")).join(
         features.alias("f"),
         on=[
@@ -131,4 +139,6 @@ def asof_join_broadcast(
             ],
         )
     )
-    return matched.unionByName(missed)
+    per_key = matched.unionByName(missed)
+    # restore original probe multiplicity (one output row per input row)
+    return probe_keys.join(F.broadcast(per_key), [on, probe_ts_col], "inner")

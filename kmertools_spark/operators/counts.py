@@ -49,6 +49,7 @@ def coverage_features(
     out_col: str = "cov_vec",
     strategy: str = "auto",
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    validate_keys: bool = True,
 ) -> DataFrame:
     """Attach per-row coverage histograms against a global count table.
 
@@ -65,11 +66,30 @@ def coverage_features(
         shuffles are equi-joins Spark can plan (broadcast if small, AQE
         skew-split if hot).
     'auto' picks broadcast for k <= 12, join above. The join path needs
-    row-identifying ``keys`` (the broadcast path does not).
+    row-identifying ``keys`` (the broadcast path does not) — duplicate
+    keys would silently fan out the hist join-back with MIXED
+    histograms, so ``validate_keys`` (default on) runs one column-
+    pruned aggregation over the keys and raises on duplicates (r2
+    ADVICE item 5). Disable it only when uniqueness is guaranteed
+    upstream (e.g. a primary key) and the extra pass matters.
     """
     if strategy == "auto":
         strategy = "broadcast" if k <= 12 else "join"
     if strategy == "join":
+        if validate_keys:
+            dup = (
+                df.groupBy(*[F.col(c) for c in keys])
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(1)
+            )
+            if not dup.isEmpty():
+                raise ValueError(
+                    f"coverage_features(strategy='join'): keys {keys} do not "
+                    "uniquely identify rows — the hist join-back would fan "
+                    "out with mixed histograms. Pass row-unique keys, or "
+                    "validate_keys=False if uniqueness is guaranteed upstream."
+                )
         return _coverage_features_join(
             df, counts, text_col, k, bin_size, bin_count, norm, out_col, keys
         )

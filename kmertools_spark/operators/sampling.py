@@ -20,16 +20,27 @@ SAMPLE_A = int(PERM_A[0])
 SAMPLE_B = int(PERM_B[0])
 
 
+def _hash_col(id_col: Column) -> Column:
+    """((A * (id mod P) + B) mod P) — the id is folded into [0, P)
+    FIRST so A * id can never overflow int64 for ANY int64 id (A, id'
+    < P = 1e9+7 keeps the product < 2^63 exactly; r2 ADVICE: the old
+    unreduced form wrapped silently in Spark past id ~2^33 while DuckDB
+    raised, so engine and oracle could diverge without error)."""
+    return F.pmod(
+        F.lit(SAMPLE_A) * F.pmod(id_col.cast("long"), F.lit(MOD)) + F.lit(SAMPLE_B),
+        F.lit(MOD),
+    )
+
+
 def sample_gate(id_col: Column, pct: float) -> Column:
     """Boolean column: deterministic ``pct``-fraction membership.
 
-    gate(id) = ((A*id + B) mod P) < pct * P over the engine's shared
-    hash constants; exact int64 (A, B < P = 1e9+7, ids < 2^33 keep the
-    product < 2^63).
+    gate(id) = ((A*(id mod P) + B) mod P) < pct * P over the engine's
+    shared hash constants; exact int64 for all int64 ids. (The SQL twin
+    uses `%`, which matches pmod for non-negative ids; negative ids
+    hash fine on the Spark side but are outside the oracle contract.)
     """
-    threshold = int(pct * MOD)
-    h = F.pmod(F.lit(SAMPLE_A) * id_col.cast("long") + F.lit(SAMPLE_B), F.lit(MOD))
-    return h < F.lit(threshold)
+    return _hash_col(id_col) < F.lit(int(pct * MOD))
 
 
 def deterministic_sample(
@@ -46,12 +57,13 @@ def deterministic_sample(
 def sample_slice(df: DataFrame, id_col: str, lo: float, hi: float) -> DataFrame:
     """Rows whose hash falls in [lo, hi) — disjoint, composable slices
     (train/val/test splits that never leak into each other)."""
-    h = F.pmod(
-        F.lit(SAMPLE_A) * F.col(id_col).cast("long") + F.lit(SAMPLE_B), F.lit(MOD)
-    )
+    h = _hash_col(F.col(id_col))
     return df.where((h >= F.lit(int(lo * MOD))) & (h < F.lit(int(hi * MOD))))
 
 
 def sample_sql_gate(id_expr: str, pct: float) -> str:
     """The DuckDB twin of sample_gate (same constants, same math)."""
-    return f"(({SAMPLE_A} * {id_expr} + {SAMPLE_B}) % {MOD}) < {int(pct * MOD)}"
+    return (
+        f"(({SAMPLE_A} * (({id_expr}) % {MOD}) + {SAMPLE_B}) % {MOD})"
+        f" < {int(pct * MOD)}"
+    )

@@ -81,19 +81,34 @@ def cosine_topk_gemm(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int | None = 6,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Exact brute-force cosine top-k via per-batch GEMM — the
     throughput path for large query sets.
 
     The query matrix is collected once (queries are the small side by
-    contract, same as cosine_topk's broadcast) and shipped in the UDF
-    closure; each corpus Arrow batch contributes one numpy matrix
-    product and a per-batch top-k cut, so at most batch_k rows per
-    (query, batch) reach the final global top-k window — candidate
-    traffic is O(n_batches * q * k), not O(corpus * q). Same results as
-    cosine_topk (ties by neighbor id ascending; equality-tested).
+    contract, same as cosine_topk's broadcast) and shipped to executors
+    as a Spark BROADCAST (torrent-distributed once per executor, not
+    re-pickled into every task closure); each corpus Arrow batch
+    contributes one numpy matrix product and a per-batch top-k cut, so
+    at most batch_k rows per (query, batch) reach the final global
+    top-k window — candidate traffic is O(n_batches * q * k), not
+    O(corpus * q). Same results as cosine_topk (ties by neighbor id
+    ascending; equality-tested).
+
+    ``max_query_rows`` makes the small-side contract a hard error
+    instead of a driver OOM (r2 VERDICT item 3): the collect is bounded
+    by limit(max+1), so an oversized query set fails fast having pulled
+    at most max+1 rows.
     """
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_gemm: query side exceeds max_query_rows="
+            f"{max_query_rows}; it is collected to the driver by design "
+            "(small-side contract). Raise the cap explicitly, or use the "
+            "LSH/IVF paths for large query sets."
+        )
     if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
@@ -101,6 +116,7 @@ def cosine_topk_gemm(
     q_ids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
 
     out_schema = StructType(
         [
@@ -111,6 +127,7 @@ def cosine_topk_gemm(
     )
 
     def gen(batches):
+        q_ids, Q, qn = bq.value
         for pdf in batches:
             n = len(pdf)
             if n == 0 or q_ids.size == 0:
@@ -362,8 +379,13 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     block_rows: int = 4096,
     n_blocks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all pairs with cosine >= threshold, via tiled block-GEMM.
+
+    Block count comes from ``n_blocks``, else from the ``n_rows`` hint,
+    else from one df.count() job (pass a hint when the caller already
+    knows the cardinality — r2 VERDICT item 4).
 
     All-pairs dense similarity is inherently O(n^2) FLOPs; what a scale
     plan controls is the shuffle and the per-FLOP cost. The corpus is
@@ -382,7 +404,7 @@ def cosine_neardup_pairs(
     import math
 
     if n_blocks is None:
-        n_blocks = max(1, math.ceil(df.count() / block_rows))
+        n_blocks = max(1, math.ceil((n_rows or df.count()) / block_rows))
 
     src = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))

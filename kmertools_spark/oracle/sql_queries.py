@@ -524,7 +524,7 @@ SELECT DISTINCT id_a, id_b FROM (
 
     q["q43_deterministic_sample"] = f"""
 WITH h AS (
-  SELECT doc_id, (({SAMPLE_A} * doc_id + {SAMPLE_B}) % {_SMOD}) AS hv
+  SELECT doc_id, (({SAMPLE_A} * (doc_id % {_SMOD}) + {SAMPLE_B}) % {_SMOD}) AS hv
   FROM documents
 )
 SELECT doc_id,

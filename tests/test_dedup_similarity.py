@@ -235,6 +235,76 @@ def test_cosine_topk_gemm_empty_queries(spark, emb):
     ]
 
 
+def test_cosine_topk_gemm_query_cap(spark):
+    """The small-side contract is a hard error, not a driver OOM: the
+    bounded collect pulls at most max+1 rows then raises."""
+    import numpy as np
+
+    from kmertools_spark.operators import cosine_topk_gemm
+
+    emb = spark.createDataFrame(
+        [(i, np.random.RandomState(i).standard_normal(4).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_gemm(emb, emb, k=2, max_query_rows=4)
+    # under the cap: works as before
+    assert cosine_topk_gemm(emb, emb.where("vec_id < 3"), k=2).count() == 6
+
+
+def test_dedup_clusters_stress_path_and_star(spark):
+    """Cluster-reality stress (r2 VERDICT item 3): a 200-deep path graph
+    (worst case for label propagation) plus a 10k-star component must
+    converge in O(log diameter) rounds with a bounded job count per
+    round (one materializing checkpoint + one limit-1 probe)."""
+    from kmertools_spark.operators import dedup_clusters
+
+    path_edges = [(i, i + 1) for i in range(199)]
+    star_edges = [(100000, 100001 + i) for i in range(10000)]
+    pairs = spark.createDataFrame(path_edges + star_edges, "id_a long, id_b long")
+    nodes = list(range(200)) + [100000 + i for i in range(10001)]
+    ids = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    stats: dict = {}
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-stress", "dedup_clusters stress")
+    try:
+        clusters = dedup_clusters(pairs, ids, _stats=stats)
+        got = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-stress")
+        sc.setJobGroup("", "")
+    assert all(got[n] == 0 for n in range(200))
+    assert all(got[100000 + i] == 100000 for i in range(10001))
+    assert stats["rounds"] <= 12, stats  # pointer jumping, not O(diameter)
+    # the convergence probe must read ONLY the just-checkpointed blocks
+    # (Scan ExistingRDD), never re-derive the round through its joins
+    assert "ExistingRDD" in stats["probe_plan"], stats["probe_plan"]
+    assert "Join" not in stats["probe_plan"], stats["probe_plan"]
+    # AQE emits one job per query stage, so the per-round job count is
+    # a loose bound — this guards against O(rounds^2) lineage recompute
+    assert len(jobs) <= 16 * stats["rounds"] + 8, (len(jobs), stats["rounds"])
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches to RELIABLE checkpointing: same labels,
+    and checkpoint files actually land in the fault-tolerant dir."""
+    import os
+
+    from kmertools_spark.operators import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    ckdir = str(tmp_path / "ck")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, ids, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    assert any(os.scandir(ckdir)), "no reliable checkpoint files written"
+
+
 def test_deterministic_sample_properties(spark):
     """Hash-gated sampling: membership is partitioning-independent,
     slices are disjoint and exhaustive, and the fraction is near pct."""
@@ -252,3 +322,21 @@ def test_deterministic_sample_properties(spark):
     hi = set(r.doc_id for r in sample_slice(ids, "doc_id", 0.8, 1.0).collect())
     assert lo.isdisjoint(hi)
     assert len(lo) + len(hi) == 5000
+
+
+def test_deterministic_sample_huge_ids_no_overflow(spark):
+    """Ids at/above 2^33 (and up to int64 max) must hash exactly — the
+    gate folds the id into [0, P) before multiplying, so A*id can never
+    wrap int64 (r2 ADVICE item 2)."""
+    from kmertools_spark.operators import deterministic_sample
+    from kmertools_spark.operators.sampling import MOD, SAMPLE_A, SAMPLE_B
+
+    big = [2**33, 2**33 + 3, 2**48 + 2, 2**48 + 6, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(b,) for b in big], "doc_id long")
+    got = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.5).collect())
+    want = {
+        b for b in big if (SAMPLE_A * (b % MOD) + SAMPLE_B) % MOD < int(0.5 * MOD)
+    }
+    assert got == want
+    assert want  # the fixture actually exercises both branches
+    assert want != set(big)

@@ -152,6 +152,25 @@ def test_coverage_join_strategy_matches_broadcast(spark, tdf, k, norm):
         assert bm[kk] == jm[kk], (kk, bm[kk], jm[kk])
 
 
+def test_coverage_join_strategy_rejects_duplicate_keys(spark):
+    """Non-unique keys would fan out the hist join-back with mixed
+    histograms — the join path must raise, not silently corrupt
+    (r2 ADVICE item 5). Unique keys still pass with validation on."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"conv_id": ["a", "a", "b"], "turn_idx": [0, 0, 1], "text": ["ACGT"] * 3}
+    )
+    df = spark.createDataFrame(pdf)
+    counts = global_kmer_counts(df, k=4)
+    with pytest.raises(ValueError, match="uniquely identify"):
+        coverage_features(df, counts, k=4, strategy="join").collect()
+    ok = coverage_features(
+        df.where("turn_idx = 1"), counts, k=4, strategy="join"
+    )
+    assert ok.count() == 1
+
+
 def test_cgr_error_column_surface(spark):
     """Per-row CGR error semantics: the reference raises
     'Bad nucleotide, unable to proceed' (composition/src/cgr.rs:139);

@@ -140,6 +140,22 @@ def test_asof_equal_ts_tiebreak_and_no_torn_rows(spark):
         assert row.asof_tool is None, impl.__name__  # whole-row, not torn
 
 
+def test_asof_duplicate_probe_multiplicity(spark, tdf):
+    """Both asof plans must preserve duplicate probe rows with the same
+    multiplicity (r2 ADVICE item 3: the broadcast plan used to collapse
+    matched duplicates while keeping missed ones)."""
+    df, pdf = tdf
+    probes = _probe_frame(pdf)
+    tripled = pd.concat([probes, probes.head(4), probes.head(4)])
+    sp = spark.createDataFrame(tripled)
+    for impl in (asof_join, asof_join_broadcast):
+        got = impl(df, sp, value_cols=("turn_idx",)).toPandas()
+        assert len(got) == len(tripled), impl.__name__
+        counts = got.groupby(["conv_id", "probe_ts"]).size()
+        want = tripled.groupby(["conv_id", "probe_ts"]).size()
+        assert counts.sort_index().equals(want.sort_index()), impl.__name__
+
+
 def test_asof_zero_leakage_property(spark, tdf):
     """Perturbing any row at ts >= probe_ts must not change results."""
     df, pdf = tdf
