@@ -5,8 +5,9 @@ training-data-pipeline additions); each callable (spark, sf_dir) runs
 the real engine code from kmertools_spark. `oracle_sql()` — the DuckDB
 twins (kmertools_spark/oracle/sql_queries.py); Spark and SQL share the
 exact transcript derivation and hash constants, so value-hashes match
-bit-for-bit. Queries with no SQL twin (full minimizer-run state machine,
-vector-valued outputs, approximate ANN) are rows-only by design.
+bit-for-bit — including the ANN gate rows (r30/r33/q45), which run the
+deterministic hash-plane / hash-init modes whose bucket and list
+decisions are exact int64 arithmetic on the shared constants.
 """
 
 from __future__ import annotations
@@ -572,20 +573,58 @@ def q29_cgr(spark, sf_dir):
 
 
 def r30_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k in hash-plane mode: Rademacher
+    signs from the shared hash constants over floor(v*QUANT) int64
+    fixed point, so buckets (and hence the whole result) have an exact
+    DuckDB twin. Gaussian-plane mode (recall-tested vs brute force in
+    tests/test_dedup_similarity.py) stays the production default."""
     from kmertools_spark.operators import ann_topk_lsh
 
     emb = _emb(spark, sf_dir)
-    return ann_topk_lsh(emb, emb.where("vec_id < 8"), dim=64, k=5)
+    return ann_topk_lsh(
+        emb, emb.where("vec_id < 8"), dim=64, k=5, n_planes=8, planes="hash"
+    )
 
 
 def r33_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (KMeans inverted lists, n_probe pruning) —
-    approximate by construction, so rows-only; recall vs brute force is
-    asserted in tests/test_dedup_similarity.py."""
+    """IVF approximate top-k (inverted lists, n_probe pruning) in
+    hash-init mode: centroids are the n_lists corpus vectors with the
+    smallest shared-constant id hash, distances are exact int64 fixed
+    point — fully deterministic, so the gate hash-checks it. KMeans
+    init (recall vs brute force in tests/test_dedup_similarity.py)
+    stays the production default."""
     from kmertools_spark.operators import ann_topk_ivf
 
     emb = _emb(spark, sf_dir)
-    return ann_topk_ivf(emb, emb.where("vec_id < 8"), k=5, n_lists=8, n_probe=3)
+    return ann_topk_ivf(
+        emb, emb.where("vec_id < 8"), k=5, n_lists=8, n_probe=3, init="hash"
+    )
+
+
+def q44_ann_topk_gemm(spark, sf_dir):
+    """q20's exact top-k through the GEMM physical path (per-batch
+    numpy matmul + per-batch top-k cut, broadcast query matrix) —
+    identical results, so it shares q20's SQL twin."""
+    from kmertools_spark.operators import cosine_topk_gemm
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_gemm(emb, emb.where("vec_id < 8"), k=5)
+
+
+def q45_cosine_neardup_lsh(spark, sf_dir):
+    """Near-dup pairs through multi-table hash-plane LSH candidates +
+    exact cosine verify (the high-threshold scale path for embedding
+    dedup), fully deterministic and oracle-checked end to end."""
+    from kmertools_spark.operators import cosine_neardup_lsh
+
+    return cosine_neardup_lsh(
+        _emb(spark, sf_dir).where("vec_id < 2000"),
+        dim=64,
+        threshold=0.2,
+        n_planes=8,
+        n_tables=2,
+        planes="hash",
+    )
 
 
 # ----------------------------------------------------- driver contract
@@ -643,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_cgr": q29_cgr,
         "r30_ann_lsh": r30_ann_lsh,
         "r33_ann_ivf": r33_ann_ivf,
+        "q44_ann_topk_gemm": q44_ann_topk_gemm,
+        "q45_cosine_neardup_lsh": q45_cosine_neardup_lsh,
     }
 
 

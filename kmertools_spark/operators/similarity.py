@@ -160,27 +160,63 @@ def cosine_topk_gemm(
     return out
 
 
+def _rademacher_planes(dim: int, n_planes: int, plane_offset: int = 0) -> np.ndarray:
+    """Deterministic +1/-1 hyperplane signs s[p, d] from the shared hash
+    constants: sign(i) for flat index i = (plane_offset + p) * dim + d.
+
+    Exactly reproducible in SQL (``CASE WHEN (A*i+B) % MOD % 2 = 1``),
+    which is what makes the hash-plane LSH mode oracle-checkable.
+    """
+    from ..oracle.hashing import MOD, PLANE_A, PLANE_B
+
+    idx = plane_offset * dim + np.arange(n_planes * dim, dtype=np.int64)
+    signs = ((PLANE_A * idx + PLANE_B) % MOD) % 2 * 2 - 1
+    return signs.reshape(n_planes, dim)
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,
     n_planes: int = 12,
     vec_col: str = "embedding",
     seed: int = ANN_SEED,
+    planes: str = "gauss",
+    plane_offset: int = 0,
 ) -> DataFrame:
-    """LSH bucket id per vector: sign pattern against random hyperplanes.
+    """LSH bucket id per vector: sign pattern against hyperplanes.
 
-    The hyperplane matrix is deterministic from (seed, dim, n_planes)
-    and regenerated executor-side (no broadcast traffic). Vectors in the
-    same bucket are ANN candidates; shuffle = one exchange on bucket.
+    ``planes="gauss"`` (default): Gaussian hyperplanes deterministic
+    from (seed, dim, n_planes), regenerated executor-side (no broadcast
+    traffic). ``planes="hash"``: Rademacher (+1/-1) signs from the
+    shared hash constants over floor(v*QUANT) fixed-point coordinates —
+    every projection is exact int64, so buckets are bit-identical
+    between Spark and the DuckDB oracle. Vectors in the same bucket are
+    ANN candidates; shuffle = one exchange on bucket.
     """
+    if planes == "hash":
+        from ..oracle.hashing import QUANT
 
-    @pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        h = np.random.RandomState(seed).standard_normal((dim, n_planes))
-        m = np.vstack(vecs.to_numpy())
-        bits = (m.astype(np.float64) @ h) > 0
-        vals = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64)
-        return pd.Series(vals)
+        signs_t = _rademacher_planes(dim, n_planes, plane_offset).T  # (d, p)
+        pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+        @pandas_udf(LongType())
+        def bucket(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            xq = np.floor(m * QUANT).astype(np.int64)
+            bits = (xq @ signs_t) > 0
+            return pd.Series((bits @ pow2).astype(np.int64))
+
+    else:
+
+        @pandas_udf(LongType())
+        def bucket(vecs: pd.Series) -> pd.Series:
+            h = np.random.RandomState(seed).standard_normal((dim, n_planes))
+            m = np.vstack(vecs.to_numpy())
+            bits = (m.astype(np.float64) @ h) > 0
+            vals = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(
+                np.int64
+            )
+            return pd.Series(vals)
 
     return df.withColumn("bucket", bucket(F.col(vec_col)))
 
@@ -193,14 +229,18 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    planes: str = "gauss",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket.
 
     Recall < 1 by construction; the bench compares its throughput and
-    recall against cosine_topk.
+    recall against cosine_topk. With ``planes="hash"`` the buckets are
+    deterministic integer functions of the shared hash constants, so
+    the whole query (buckets -> candidates -> cosine top-k) has an
+    exact DuckDB twin (gate row r30).
     """
-    c = hyperplane_buckets(corpus, dim, n_planes, vec_col).alias("c")
-    q = hyperplane_buckets(queries, dim, n_planes, vec_col).alias("q")
+    c = hyperplane_buckets(corpus, dim, n_planes, vec_col, planes=planes).alias("c")
+    q = hyperplane_buckets(queries, dim, n_planes, vec_col, planes=planes).alias("q")
     c = with_norm(c, vec_col).alias("c")
     q = with_norm(q, vec_col).alias("q")
     j = c.join(
@@ -234,40 +274,89 @@ def ann_topk_ivf(
     n_lists: int = 8,
     n_probe: int = 2,
     seed: int = ANN_SEED,
+    init: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Scale path for ANN: KMeans centroids partition the corpus into
-    n_lists inverted lists; each query probes only its n_probe nearest
-    lists. The candidate join is an equi-join on list id (one shuffle,
+    Scale path for ANN: centroids partition the corpus into n_lists
+    inverted lists; each query probes only its n_probe nearest lists.
+    The candidate join is an equi-join on list id (one shuffle,
     prunable), versus brute force's full cross product. Recall is
     tunable via n_probe; the bench compares recall/throughput against
     cosine_topk.
+
+    ``init="kmeans"`` (default) trains Spark-ML KMeans centroids for
+    list quality. ``init="hash"`` picks the n_lists corpus vectors with
+    the smallest shared-constant hash of their id as centroids and does
+    every distance comparison in floor(v*QUANT) int64 fixed point —
+    fully deterministic and exactly reproducible in SQL, which is what
+    lets the DuckDB oracle verify the whole query (gate row r33); list
+    quality is k-means||-init grade (no Lloyd iterations).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if init == "hash":
+        from ..oracle.hashing import CENT_A, CENT_B, MOD, QUANT
 
-    spark = corpus.sparkSession
-    feat = corpus.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feat)
-    centers = [c.tolist() for c in model.clusterCenters()]
+        hv = F.pmod(
+            F.pmod(
+                F.lit(CENT_A) * F.pmod(F.col(id_col).cast("long"), F.lit(MOD)),
+                F.lit(MOD),
+            )
+            + F.lit(CENT_B),
+            F.lit(MOD),
+        )
+        crows = (
+            corpus.select(F.col(id_col), F.col(vec_col), hv.alias("__hv"))
+            .orderBy("__hv", id_col)
+            .limit(n_lists)
+            .collect()
+        )
+        centers_q = np.floor(
+            np.asarray([r[1] for r in crows], dtype=np.float64) * QUANT
+        ).astype(np.int64)  # (n_lists, dim), list_id = hash-rank order
 
-    @pandas_udf("array<int>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        C = np.asarray(centers)  # (n_lists, dim)
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+        def _int_dists(vecs: pd.Series) -> np.ndarray:
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            xq = np.floor(m * QUANT).astype(np.int64)
+            return ((xq[:, None, :] - centers_q[None, :, :]) ** 2).sum(axis=2)
 
-    @pandas_udf("int")
-    def assign_list(vecs: pd.Series) -> pd.Series:
-        C = np.asarray(centers)
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        @pandas_udf("array<int>")
+        def probe_lists(vecs: pd.Series) -> pd.Series:
+            d = _int_dists(vecs)
+            # stable sort: ties resolve to the smaller list id, same as
+            # the oracle's ORDER BY dist, list_id
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+            return pd.Series(list(order))
+
+        @pandas_udf("int")
+        def assign_list(vecs: pd.Series) -> pd.Series:
+            # argmin returns the first minimum -> smallest list id on ties
+            return pd.Series(_int_dists(vecs).argmin(axis=1).astype(np.int32))
+
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = corpus.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feat)
+        centers = [c.tolist() for c in model.clusterCenters()]
+
+        @pandas_udf("array<int>")
+        def probe_lists(vecs: pd.Series) -> pd.Series:
+            C = np.asarray(centers)  # (n_lists, dim)
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+            return pd.Series(list(order))
+
+        @pandas_udf("int")
+        def assign_list(vecs: pd.Series) -> pd.Series:
+            C = np.asarray(centers)
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     c = with_norm(
         corpus.withColumn("list_id", assign_list(F.col(vec_col))), vec_col
@@ -309,6 +398,7 @@ def cosine_neardup_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = ANN_SEED,
+    planes: str = "gauss",
 ) -> DataFrame:
     """Approximate near-dup pairs: multi-table hyperplane LSH candidates
     + exact cosine verify within candidates.
@@ -324,7 +414,16 @@ def cosine_neardup_lsh(
     """
     tables = []
     for t in range(n_tables):
-        b = hyperplane_buckets(df, dim, n_planes, vec_col, seed=seed + 7919 * t)
+        # hash mode: table t owns plane indices [t*n_planes, (t+1)*n_planes)
+        b = hyperplane_buckets(
+            df,
+            dim,
+            n_planes,
+            vec_col,
+            seed=seed + 7919 * t,
+            planes=planes,
+            plane_offset=t * n_planes,
+        )
         tables.append(
             b.select(F.lit(t).alias("table"), F.col(id_col), F.col("bucket"))
         )

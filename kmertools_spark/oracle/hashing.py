@@ -25,6 +25,21 @@ PERM_B = (_rng.randint(0, MOD - 1, size=N_PERMS)).astype(np.int64)
 
 SIMHASH_BITS = 16
 
+# Deterministic-ANN constants (drawn AFTER the MinHash perms so the
+# PERM values above are unchanged forever; mirrored into oracle SQL).
+# PLANE_* seed the Rademacher (+1/-1) hyperplane signs for the
+# hash-plane LSH mode; CENT_* rank corpus ids for IVF centroid picks.
+PLANE_A = int(_rng.randint(1, MOD - 1))
+PLANE_B = int(_rng.randint(0, MOD - 1))
+CENT_A = int(_rng.randint(1, MOD - 1))
+CENT_B = int(_rng.randint(0, MOD - 1))
+
+# Fixed-point scale for FP-free bucket/centroid decisions: both engines
+# compute floor(double(v) * QUANT) — exact IEEE ops, so the int64
+# projections/distances (and hence buckets and list assignments) are
+# bit-identical between numpy and DuckDB with no rounding-mode hazard.
+QUANT = 1_000_000
+
 
 def pow_vector(length: int) -> np.ndarray:
     """[BASE^(length-1) % MOD, ..., BASE^1, BASE^0] as int64."""

@@ -568,4 +568,160 @@ SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
        (node = min(r)) AS keep
 FROM reach GROUP BY node"""
 
+    _add_ann_oracles(q)
     return q
+
+
+def _qdim_cte(src: str = "embeddings") -> str:
+    """Fixed-point (floor(double(v) * QUANT) int64) per-dimension view —
+    the FP-free coordinates both engines use for bucket / centroid
+    decisions (oracle/hashing.QUANT)."""
+    from .hashing import QUANT
+
+    return f"""qdim AS (
+  SELECT vec_id, i - 1 AS d,
+    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT}.0) AS BIGINT) AS xq
+  FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM {src}) _)"""
+
+
+def _cos_rank_tail(src: str = "embeddings", k: int = 5) -> str:
+    """cand(query_id, neighbor_id) -> exact cosine + top-k rank, the
+    same double math and round(,6) as q20 so hashes match."""
+    return f"""
+expl AS (
+  SELECT cc.query_id, cc.neighbor_id,
+    CAST(qe.embedding[CAST(cc.i AS INT)] AS DOUBLE) AS x,
+    CAST(ce.embedding[CAST(cc.i AS INT)] AS DOUBLE) AS y
+  FROM (SELECT *, unnest(range(1, 65)) AS i FROM cand) cc
+  JOIN {src} qe ON qe.vec_id = cc.query_id
+  JOIN {src} ce ON ce.vec_id = cc.neighbor_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+    sum(x * y) AS dot, sqrt(sum(x * x)) AS nq, sqrt(sum(y * y)) AS nc
+  FROM expl GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (nq * nc) AS cos,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot / (nq * nc) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _add_ann_oracles(q: dict[str, str]) -> None:
+    """Exact twins for the deterministic ANN paths (gate rows r30/r33 +
+    the q44/q45 plan variants). The Spark side runs the hash-plane /
+    hash-init modes (operators/similarity.py), whose every bucket and
+    list decision is exact int64 arithmetic on the shared constants —
+    so these are full hash-checked oracles, not rows-only."""
+    from .hashing import CENT_A, CENT_B, PLANE_A, PLANE_B
+
+    pow_values = ", ".join(f"({p}, {1 << p})" for p in range(8))
+
+    # r30: Rademacher hash-plane LSH buckets -> bucket-mate candidates
+    # -> exact cosine top-5 (mirrors ann_topk_lsh(planes="hash")).
+    q["r30_ann_lsh"] = f"""
+WITH {_qdim_cte()},
+proj AS (
+  SELECT vec_id, p,
+    sum(xq * (CASE WHEN (({PLANE_A} * (p * 64 + d) + {PLANE_B}) % {MOD}) % 2 = 1
+              THEN 1 ELSE -1 END)) AS pr
+  FROM qdim CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pl
+  GROUP BY vec_id, p
+),
+buck AS (
+  SELECT proj.vec_id,
+    CAST(sum(CASE WHEN pr > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj JOIN (VALUES {pow_values}) pv(pp, pw) ON pv.pp = proj.p
+  GROUP BY proj.vec_id
+),
+cand AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buck qb JOIN buck cb
+    ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+  WHERE qb.vec_id < 8
+),{_cos_rank_tail()}"""
+
+    # r33: hash-ranked centroid picks -> int64 nearest-list assignment
+    # (n_probe=3 probes) -> exact cosine top-5 (ann_topk_ivf(init="hash")).
+    q["r33_ann_ivf"] = f"""
+WITH {_qdim_cte()},
+hv AS (
+  SELECT vec_id,
+    (({CENT_A} * (vec_id % {MOD})) % {MOD} + {CENT_B}) % {MOD} AS h
+  FROM embeddings
+),
+cent AS (
+  SELECT cvid, list_id FROM (
+    SELECT vec_id AS cvid,
+      row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id
+    FROM hv) _ WHERE list_id < 8
+),
+cdim AS (
+  SELECT c.list_id, qd.d, qd.xq FROM cent c JOIN qdim qd ON qd.vec_id = c.cvid
+),
+dist AS (
+  SELECT v.vec_id, c.list_id, sum((v.xq - c.xq) * (v.xq - c.xq)) AS dist
+  FROM qdim v JOIN cdim c ON c.d = v.d
+  GROUP BY v.vec_id, c.list_id
+),
+rk AS (
+  SELECT vec_id, list_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, list_id FROM rk WHERE rn = 1),
+probe AS (SELECT vec_id, list_id FROM rk WHERE rn <= 3 AND vec_id < 8),
+cand AS (
+  SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probe pr JOIN assign a
+    ON a.list_id = pr.list_id AND a.vec_id <> pr.vec_id
+),{_cos_rank_tail()}"""
+
+    # q44: the GEMM physical path computes the identical exact top-k
+    q["q44_ann_topk_gemm"] = q["q20_ann_topk"]
+
+    # q45: multi-table hash-plane near-dup LSH + exact cosine verify
+    # (cosine_neardup_lsh(planes="hash"), n_tables=2, n_planes=8,
+    # threshold=0.2, vec_id < 2000)
+    q["q45_cosine_neardup_lsh"] = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+{_qdim_cte("emb")},
+proj AS (
+  SELECT vec_id, t, p,
+    sum(xq * (CASE WHEN (({PLANE_A} * ((t * 8 + p) * 64 + d) + {PLANE_B})
+                          % {MOD}) % 2 = 1 THEN 1 ELSE -1 END)) AS pr
+  FROM qdim
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS t) tt
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pl
+  GROUP BY vec_id, t, p
+),
+buck AS (
+  SELECT proj.vec_id, t,
+    CAST(sum(CASE WHEN pr > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj JOIN (VALUES {pow_values}) pv(pp, pw) ON pv.pp = proj.p
+  GROUP BY proj.vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buck a JOIN buck b
+    ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+),
+expl AS (
+  SELECT cc.id_a, cc.id_b,
+    CAST(ae.embedding[CAST(cc.i AS INT)] AS DOUBLE) AS x,
+    CAST(be.embedding[CAST(cc.i AS INT)] AS DOUBLE) AS y
+  FROM (SELECT *, unnest(range(1, 65)) AS i FROM cand) cc
+  JOIN emb ae ON ae.vec_id = cc.id_a
+  JOIN emb be ON be.vec_id = cc.id_b
+),
+dots AS (
+  SELECT id_a, id_b, sum(x * y) AS dot,
+         sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+  FROM expl GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
+FROM dots WHERE round(dot / (na * nb), 6) >= 0.2"""

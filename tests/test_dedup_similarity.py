@@ -340,3 +340,80 @@ def test_deterministic_sample_huge_ids_no_overflow(spark):
     assert got == want
     assert want  # the fixture actually exercises both branches
     assert want != set(big)
+
+
+def test_hash_plane_buckets_deterministic_and_match_spec(spark, emb):
+    """planes="hash" buckets are a pure int64 function of the shared
+    constants: partition-independent and equal to a direct numpy replay
+    of the spec (floor(v*QUANT) @ Rademacher signs > 0)."""
+    from kmertools_spark.operators.similarity import (
+        _rademacher_planes,
+        hyperplane_buckets,
+    )
+    from kmertools_spark.oracle.hashing import QUANT
+
+    b1 = hyperplane_buckets(emb, dim=16, n_planes=6, planes="hash")
+    b2 = hyperplane_buckets(emb.repartition(7, "vec_id"), 16, 6, planes="hash")
+    g1 = {r.vec_id: r.bucket for r in b1.collect()}
+    g2 = {r.vec_id: r.bucket for r in b2.collect()}
+    assert g1 == g2
+
+    rows = emb.orderBy("vec_id").collect()
+    m = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    xq = np.floor(m * QUANT).astype(np.int64)
+    bits = (xq @ _rademacher_planes(16, 6).T) > 0
+    want = bits @ (1 << np.arange(6, dtype=np.int64))
+    assert [g1[r.vec_id] for r in rows] == want.tolist()
+    assert len(set(want.tolist())) > 1  # the fixture spreads over buckets
+
+
+def test_ann_ivf_hash_init_deterministic_and_structured(spark, emb):
+    """init="hash" IVF: results are partition-independent, every
+    neighbor really is assigned to one of its query's probed lists, and
+    recall on the planted near-duplicates stays useful."""
+    q = emb.where("vec_id < 10")
+    r1 = ann_topk_ivf(emb, q, k=5, n_lists=4, n_probe=2, init="hash")
+    r2 = ann_topk_ivf(
+        emb.repartition(5, "vec_id"), q, k=5, n_lists=4, n_probe=2, init="hash"
+    )
+    s1 = sorted(map(tuple, r1.collect()))
+    s2 = sorted(map(tuple, r2.collect()))
+    assert s1 == s2 and s1
+    exact = _topk_sets(cosine_topk(emb, q, k=5))
+    approx = _topk_sets(r1)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    assert hits / sum(len(v) for v in exact.values()) >= 0.4
+
+
+def test_ann_lsh_hash_planes_deterministic(spark, emb):
+    q = emb.where("vec_id < 10")
+    r1 = ann_topk_lsh(emb, q, dim=16, k=5, n_planes=4, planes="hash")
+    r2 = ann_topk_lsh(
+        emb.repartition(3, "vec_id"), q, dim=16, k=5, n_planes=4, planes="hash"
+    )
+    s1 = sorted(map(tuple, r1.collect()))
+    s2 = sorted(map(tuple, r2.collect()))
+    assert s1 == s2 and s1
+
+
+def test_cosine_neardup_lsh_hash_planes_exact_precision(spark, emb):
+    """Hash-plane near-dup candidates + exact verify: every emitted
+    pair appears in the exhaustive block-GEMM output with the same cos
+    (precision exact), and the planted near-dups are recalled."""
+    from kmertools_spark.operators import cosine_neardup_lsh, cosine_neardup_pairs
+
+    thr = 0.9
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs(emb, threshold=thr, block_rows=16).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_lsh(
+            emb, dim=16, threshold=thr, n_planes=4, n_tables=3, planes="hash"
+        ).collect()
+    }
+    assert got  # planted pairs found
+    for pair, cos in got.items():
+        assert pair in exact and abs(exact[pair] - cos) < 1e-9, pair
+    assert len(got) >= len(exact) // 2  # multi-table recall
