@@ -7,12 +7,17 @@ local[$SPARK_GRAFT_CPUS]):
              vectors for every turn (the headline turns/sec metric)
   asof       leakage-free as-of join of derived probes
   counts_cov global k-mer counts + per-turn coverage histograms
+  minruns    windowed minimizer-run state machine (w=8, m=5), exploded
+  cgr        CGR trajectories (bit-exact FP recurrence) over all turns
   dedup      minhash signatures -> LSH candidate pairs (documents)
   ann        brute-force cosine top-k (embeddings)
 
 All queries force full computation via the noop sink / count; nothing
-is collected to the driver. SPARK_GRAFT_SCALING=1 makes this process
-emit its single-run JSON for use by bench_scaling.py.
+is collected to the driver. Each leg is timed best-of-N
+(SPARK_GRAFT_BENCH_BEST, default 2) — single-run numbers on a shared
+box swing 2-3x with page-cache/JIT luck, and the steady-state time is
+the one that predicts cluster throughput. SPARK_GRAFT_SCALING=1 makes
+this process emit its single-run JSON for use by bench_scaling.py.
 """
 
 from __future__ import annotations
@@ -92,36 +97,71 @@ def main() -> None:
         )
     )
 
-    t0 = time.time()
-    rows = force(backfill_features_stream(t, k=4, n_turns=3))
-    timings["backfill"] = time.time() - t0
-    log(f"backfill: {rows} rows in {timings['backfill']:.2f}s")
+    best = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BEST", "2")))
 
-    t0 = time.time()
+    def timed(name: str, leg) -> None:
+        took = []
+        for _ in range(best):
+            t0 = time.time()
+            leg()
+            took.append(time.time() - t0)
+        timings[name] = min(took)
+        log(f"{name}: best {timings[name]:.2f}s of {[round(x, 2) for x in took]}")
+
+    timed("backfill", lambda: force(backfill_features_stream(t, k=4, n_turns=3)))
+
     p = probes_df(spark, sf_dir).distinct()
-    force(asof_join(t.withColumn("text_len", F.length("text")), p,
-                    value_cols=("turn_idx", "text_len")))
-    timings["asof"] = time.time() - t0
+    timed(
+        "asof",
+        lambda: force(
+            asof_join(
+                t.withColumn("text_len", F.length("text")),
+                p,
+                value_cols=("turn_idx", "text_len"),
+            )
+        ),
+    )
 
-    t0 = time.time()
-    counts = global_kmer_counts(t, k=4)
-    force(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
-    timings["counts_cov"] = time.time() - t0
+    def counts_cov_leg():
+        counts = global_kmer_counts(t, k=4)
+        force(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
+
+    timed("counts_cov", counts_cov_leg)
+
+    # the two most kernel-bound gate queries (q26/q29), tracked
+    # round-over-round; warm slices spread over all workers first so the
+    # timed legs measure the kernels, not per-core module imports
+    from kmertools_spark.functions import cgr_points, exploded_minimisers
+
+    warm = t.limit(1024).repartition(cpus)
+    clean_expr = F.regexp_replace("text", "[^ACGTUacgtu]", "")
+    force(exploded_minimisers(warm, w=8, m=5))
+    warm.select(cgr_points(1.0)(clean_expr).alias("cgr")).agg(
+        F.sum(F.size("cgr"))
+    ).collect()
+
+    timed("minruns", lambda: force(exploded_minimisers(t, w=8, m=5)))
+
+    timed(
+        "cgr",
+        lambda: t.select(cgr_points(1.0)(clean_expr).alias("cgr"))
+        .agg(F.sum(F.size("cgr")))
+        .collect(),
+    )
 
     # signatures are cached before the banding self-join — otherwise the
     # join's two branches each recompute the minhash UDF over the whole
     # corpus (the shape any real pipeline persists)
-    t0 = time.time()
-    sigs = minhash_signatures(docs).cache()
-    force(sigs)
-    force(lsh_candidate_pairs(sigs, bands=4))
-    timings["dedup"] = time.time() - t0
-    sigs.unpersist()
+    def dedup_leg():
+        sigs = minhash_signatures(docs).cache()
+        force(sigs)
+        force(lsh_candidate_pairs(sigs, bands=4))
+        sigs.unpersist()
+
+    timed("dedup", dedup_leg)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.time()
-    force(cosine_topk(emb, emb.where("vec_id < 8"), k=5))
-    timings["ann"] = time.time() - t0
+    timed("ann", lambda: force(cosine_topk(emb, emb.where("vec_id < 8"), k=5)))
 
     total = time.time() - t_all
     spark.stop()
@@ -138,6 +178,7 @@ def main() -> None:
             "cpus": cpus,
             "turns_per_sec": round(n_turns / timings["backfill"], 1),
             "total_wall_sec": round(total, 3),
+            "best_of": best,
         },
     }
     print(json.dumps(out))

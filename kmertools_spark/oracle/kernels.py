@@ -559,42 +559,60 @@ def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
     return out
 
 
+def _cgr_dense_group(codes, lens, grp, bmax, vecsize, outs) -> None:
+    """Padded across-row recurrence for one length bucket: every row in
+    ``grp`` has bmax/2 < len <= bmax, so padding waste is bounded 2x."""
+    g = grp.size
+    mat = np.zeros((g, bmax), dtype=np.uint8)
+    for j, i in enumerate(grp):
+        mat[j, : lens[i]] = codes[i]
+    cx = _CGR_X[mat] * vecsize
+    cy = _CGR_Y[mat] * vecsize
+    trail_x = np.empty((g, bmax))
+    trail_y = np.empty((g, bmax))
+    mx = np.full(g, vecsize / 2.0)
+    my = np.full(g, vecsize / 2.0)
+    for t in range(bmax):
+        mx = (cx[:, t] + mx) / 2.0
+        my = (cy[:, t] + my) / 2.0
+        trail_x[:, t] = mx
+        trail_y[:, t] = my
+    for j, i in enumerate(grp):
+        L = lens[i]
+        outs[i][:, 0] = trail_x[j, :L]
+        outs[i][:, 1] = trail_y[j, :L]
+
+
 def cgr_batch(texts: Sequence[str | None], vecsize: float = 1.0) -> list[np.ndarray | None]:
     """Batch CGR: the sequential recurrence vectorized ACROSS rows.
 
-    One numpy step per character *position* over all rows at once —
-    identical FP op order per row to the reference loop; rows with OOV
-    characters yield None.
+    One numpy step per character *position* over a geometric length
+    bucket at a time (rows with len in (B/2, B] pad to B), so both the
+    padded memory and the per-position python loop stay within 2x of
+    the true character count — one chromosome-length row in a batch of
+    short rows no longer forces an (n, maxlen) dense matrix. Identical
+    FP op order per row to the reference loop (bit-parity goldens +
+    the q29 hash gate hold); rows with OOV characters yield None.
     """
     n = len(texts)
     enc = [(t or "").encode("utf-8") for t in texts]
     codes = [SEQ_NT4[np.frombuffer(b, dtype=np.uint8)] if b else np.empty(0, np.uint8) for b in enc]
     ok = np.array([not (c >= 4).any() for c in codes])
     lens = np.array([c.size if o else 0 for c, o in zip(codes, ok)])
-    maxlen = int(lens.max()) if n else 0
     outs: list[np.ndarray | None] = [
         np.empty((int(L), 2)) if o else None for L, o in zip(lens, ok)
     ]
-    if maxlen == 0:
+    if n == 0 or int(lens.max()) == 0:
         return outs
-    # pad codes into a (n, maxlen) matrix (pad value 0 is harmless, masked)
-    mat = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, c in enumerate(codes):
-        if ok[i] and c.size:
-            mat[i, : c.size] = c
-    cx = _CGR_X[mat] * vecsize
-    cy = _CGR_Y[mat] * vecsize
-    trail_x = np.empty((n, maxlen))
-    trail_y = np.empty((n, maxlen))
-    mx = np.full(n, vecsize / 2.0)
-    my = np.full(n, vecsize / 2.0)
-    for t in range(maxlen):
-        mx = (cx[:, t] + mx) / 2.0
-        my = (cy[:, t] + my) / 2.0
-        trail_x[:, t] = mx
-        trail_y[:, t] = my
-    for i in range(n):
-        if outs[i] is not None and lens[i]:
-            outs[i][:, 0] = trail_x[i, : lens[i]]
-            outs[i][:, 1] = trail_y[i, : lens[i]]
+    live = np.nonzero(lens > 0)[0]
+    order = live[np.argsort(-lens[live], kind="stable")]  # longest first
+    start = 0
+    while start < order.size:
+        bmax = int(lens[order[start]])
+        lo = bmax // 2
+        end = start
+        while end < order.size and lens[order[end]] > lo:
+            end += 1
+        _cgr_dense_group(codes, lens, order[start:end], bmax, vecsize, outs)
+        start = end
     return outs

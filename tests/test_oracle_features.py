@@ -157,3 +157,34 @@ def test_cgr_long_text_stable():
     assert got is not None
     assert np.isfinite(got).all()
     assert (got >= 0).all() and (got <= 1).all()
+
+
+def test_cgr_batch_bucketed_bit_parity_and_skew():
+    """The geometric length-bucket batch path is bit-identical to the
+    per-row reference recurrence, including rows that land in different
+    buckets, empties, and OOV rows; one huge row among short rows must
+    not change any short row's values (padding is bucket-local)."""
+    import numpy as np
+
+    from kmertools_spark.oracle.kernels import cgr_batch, cgr_trajectory
+
+    rng = np.random.RandomState(7)
+    texts = [
+        "".join(rng.choice(list("ACGTUacgtu"), L))
+        for L in (1, 2, 3, 7, 8, 50, 63, 64, 65, 500, 4000)
+    ] + ["", None, "ACGTN"]
+    got = cgr_batch(texts, 16.0)
+    for t, g in zip(texts, got):
+        if not t:
+            assert g is not None and g.shape == (0, 2)
+        elif "N" in t:
+            assert g is None
+        else:
+            ref = cgr_trajectory(t, 16.0)
+            assert (g == ref).all()
+
+    short = ["ACGTAC"] * 64
+    alone = cgr_batch(short)
+    with_giant = cgr_batch(["ACGT" * 25000] + short)
+    for a, b in zip(alone, with_giant[1:]):
+        assert (a == b).all()
