@@ -356,6 +356,26 @@ def q22_text_features(spark, sf_dir):
     )
 
 
+def q47_stratified_sample(spark, sf_dir):
+    """Per-language sampling quotas (keep all low-resource languages,
+    downsample the dominant ones): the q43 hash gate with a per-stratum
+    threshold — still a pure pushed-down filter, no join, no shuffle,
+    and monotone in the rate (raising a quota only adds rows)."""
+    from kmertools_spark.functions import lang_guess
+    from kmertools_spark.operators import stratified_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", lang_guess(F.col("text")).alias("lang")
+    )
+    return stratified_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 1.0},
+        default_rate=0.1,
+    )
+
+
 def q23_fingerprint(spark, sf_dir):
     from kmertools_spark.functions import doc_fingerprint
 
@@ -611,6 +631,17 @@ def q44_ann_topk_gemm(spark, sf_dir):
     return cosine_topk_gemm(emb, emb.where("vec_id < 8"), k=5)
 
 
+def q46_pack_documents(spark, sf_dir):
+    """Deterministic shuffle + concat-and-chunk sequence packing into
+    512-token context windows: one row per (document, window) overlap.
+    Spark computes the global token offset as a DISTRIBUTED prefix sum
+    (analytic order-aligned partitions + per-partition base offsets);
+    the oracle replays it as a window cumsum."""
+    from kmertools_spark.operators import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), capacity=512, order="hash")
+
+
 def q45_cosine_neardup_lsh(spark, sf_dir):
     """Near-dup pairs through multi-table hash-plane LSH candidates +
     exact cosine verify (the high-threshold scale path for embedding
@@ -684,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r33_ann_ivf": r33_ann_ivf,
         "q44_ann_topk_gemm": q44_ann_topk_gemm,
         "q45_cosine_neardup_lsh": q45_cosine_neardup_lsh,
+        "q46_pack_documents": q46_pack_documents,
+        "q47_stratified_sample": q47_stratified_sample,
     }
 
 

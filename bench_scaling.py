@@ -65,57 +65,24 @@ Full per-query timings (seconds):
     ) + f"""
 
 Input: {sf_dir}. Efficiency = (turns/sec at 4N / turns/sec at N) / 4.
-Note: local-mode scaling under-reports cluster scaling — a single JVM
-shares one heap, one shuffle service, and Python worker startup is
-amortized differently; the partition-parallel design (map-side Arrow
-kernels, bounded per-task state, salted/chunked group work) is what
-carries to multi-executor clusters.
-
-## Appendix: why high local parallelism saturates on this box
-
-lscpu: 32 physical cores (1 thread/core), one socket, one memory
-controller. A memory-bound numpy bincount probe (the shape of the
-engine's counting kernels) measured this round: 1 proc 5.5s of work;
-8 procs x same work 6.9s (eff 0.80); 16 procs 10.1s; 32 procs 11.6s —
-aggregate speedup caps at ~15x regardless of core count. The cores are
-real; the shared memory bandwidth is the binding resource above ~8-16
-concurrent numpy workers. On a real cluster each executor brings its
-own memory channels, so the low-parallelism pairs (both sides below the
-bandwidth wall) are the faithful N -> 4N proxy; the engine's plans add
-no coordination beyond the shuffles shown in docs/SCALE.md.
-
-## Measured pairs at other parallelism levels (same job, same box)
-
-| pair | input turns | turns/sec @N | turns/sec @4N | efficiency | round |
-|---|---|---|---|---|---|
-| local[1] -> local[4] | 2,000,000 | 18,674 | 65,790 | **0.881** | r1 |
-| local[2] -> local[8] (r2: fleet warm-up) | 2,000,000 | 30,390 | 104,365 | **0.859** | r2 |
-| local[2] -> local[8] (r2 final: u32 tokenizer) | 2,000,000 | 37,149 | 125,848 | **0.847** | r2 |
-| local[2] -> local[8] (pre-kernel-opt) | 4,000,000 | 26,706 | 92,233 | 0.863 | r1 |
-| local[2] -> local[8] (post-kernel-opt) | 4,000,000 | 38,784 | 96,241 | 0.620 | r1 |
-
-The post-optimization 2->8 drop is instructive: the in-place kernel
-optimization raised the low-parallelism runs (CPU-bound there) while
-local[8] stayed ~96k turns/s — at 8 memory-hungry Python workers the
-shared socket bandwidth, not the plan, is binding (see appendix probe).
-On a real cluster 4x executors bring 4x memory channels; the pair
-farthest from the local saturation point is the faithful proxy.
-
-## Reference build attempt
-
-`cargo build --release` on /root/reference fails in this sandbox —
-crates.io is unreachable (no network) and no vendored registry or
-prebuilt binary exists, so the reference's single-node throughput
-cannot be measured here. The baseline therefore remains the
-design-envelope parameters (BASELINE.md) plus this engine's measured
-numbers. Kernel-side single-core throughput of the composition path
-after the in-place shift optimization: ~34k rows/s per core at 300-char
-texts (0.12 s per 4096-row Arrow batch), consistent with the measured
-end-to-end backfill throughput.
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    begin = "<!-- AUTOGEN:SCALING:BEGIN (bench_scaling.py rewrites this block) -->"
+    end_m = "<!-- AUTOGEN:SCALING:END -->"
+    path = "BENCH/BASELINE.md"
+    block = begin + "\n" + md + end_m
+    if os.path.exists(path):
+        cur = open(path).read()
+        if begin in cur and end_m in cur:
+            pre = cur[: cur.index(begin)]
+            post = cur[cur.index(end_m) + len(end_m):]
+            out_doc = pre + block + post
+        else:
+            out_doc = block + "\n" + cur
+    else:
+        out_doc = block
+    with open(path, "w") as f:
+        f.write(out_doc)
     print(json.dumps({
         "n": {"cpus": N, "turns_per_sec": tp_n},
         "n4": {"cpus": N4, "turns_per_sec": tp_4n},

@@ -20,7 +20,13 @@ from .rolling import (
     backfill_features_stream,
     rolling_turn_vectors,
 )
-from .sampling import deterministic_sample, sample_gate, sample_slice
+from .packing import pack_documents
+from .sampling import (
+    deterministic_sample,
+    sample_gate,
+    sample_slice,
+    stratified_sample,
+)
 from .sessionize import lag_lead_features, sessionize
 from .similarity import (
     ann_topk_ivf,
@@ -50,8 +56,10 @@ __all__ = [
     "minhash_signatures",
     "simhash_buckets",
     "deterministic_sample",
+    "pack_documents",
     "sample_gate",
     "sample_slice",
+    "stratified_sample",
     "backfill_features",
     "backfill_features_auto",
     "backfill_features_stream",

@@ -1,0 +1,154 @@
+"""Deterministic shuffle + sequence packing (concat-and-chunk).
+
+The standard LLM-pretraining data-prep step: order documents by a
+deterministic hash (the training shuffle), concatenate their token
+streams, and chunk the stream into fixed-``capacity`` context windows.
+Output is one row per (document, window) overlap, so a downstream
+tokenizer/writer knows exactly which token span of which document fills
+which position of which window — every window except the last is
+exactly full, documents straddle windows (no padding waste).
+
+The global token offset is a distributed prefix sum, NOT a
+single-partition global window (the naive ``sum() OVER (ORDER BY ...)``
+serializes the whole corpus through one task):
+
+  1. every row gets an order key and an ORDER-ALIGNED partition id
+     computed analytically from the key (hash keys are uniform in
+     [0, MOD), so partition = h * P / MOD — no sampled range
+     boundaries, fully deterministic across retries);
+  2. one tiny aggregation job returns the P per-partition token sums;
+     their exclusive prefix is broadcast back;
+  3. each partition computes its local cumsum + base offset in one
+     applyInPandas pass over (id, tokens) only — the text never moves.
+
+The bin explosion afterwards is pure Catalyst (sequence + explode).
+Shuffle traffic: two exchanges of (id, tok, key) triples — ~24 bytes a
+document regardless of document size.
+
+The SQL oracle (q46) replays the same ordering with a window cumsum —
+fine at gate scale, the single-task plan this operator exists to avoid
+at corpus scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions.text import token_count
+from ..oracle.hashing import MOD, PACK_A, PACK_B
+
+_OFF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tok", LongType()),
+        StructField("off", LongType()),
+    ]
+)
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    order: str = "hash",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """df -> (doc_id, bin, tok_start, pos_in_bin, n_tok), all BIGINT.
+
+    ``order="hash"``: documents are shuffled by the shared PACK hash of
+    their id (deterministic across engines, partitionings, retries —
+    the training shuffle). ``order="id"``: documents pack in id order
+    (reproducible corpus concatenation). Zero-token documents emit no
+    rows. ``tokens_col`` supplies a precomputed token count (e.g. a
+    real tokenizer's); default is the engine's whitespace token_count.
+
+    For each document at global token offset o with t tokens, one row
+    per window bin in [o // capacity, (o+t-1) // capacity]:
+      tok_start   first token of the document inside this bin
+      pos_in_bin  position of that token within the bin
+      n_tok       tokens of this document inside this bin
+    Invariants (property-tested): per-document n_tok sums to t; every
+    bin except the last sums to exactly ``capacity``.
+    """
+    if order not in ("hash", "id"):
+        raise ValueError(f"order must be 'hash' or 'id', got {order!r}")
+    spark = df.sparkSession
+    P = n_parts or spark.sparkContext.defaultParallelism
+
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else token_count(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), tok.alias("tok")
+    ).where(F.col("tok") > 0)
+
+    if order == "hash":
+        key = F.pmod(
+            F.lit(PACK_A) * F.pmod(F.col("doc_id"), F.lit(MOD)) + F.lit(PACK_B),
+            F.lit(MOD),
+        )
+        keyed = base.withColumn("__ord", key).withColumn(
+            "__part", ((F.col("__ord") * P) / MOD).cast("int")
+        )
+    else:
+        lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = max(1, int(hi) - int(lo) + 1)
+        # double math: (id - lo) * P could overflow int64 for extreme ids
+        keyed = base.withColumn("__ord", F.col("doc_id")).withColumn(
+            "__part",
+            ((F.col("__ord") - int(lo)).cast("double") * P / span).cast("int"),
+        )
+
+    # tiny job: P per-partition token sums -> exclusive prefix offsets
+    psums = {
+        int(r[0]): int(r[1])
+        for r in keyed.groupBy("__part").agg(F.sum("tok")).collect()
+    }
+    bases, acc = {}, 0
+    for p in sorted(psums):
+        bases[p] = acc
+        acc += psums[p]
+
+    def local_offsets(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ord", "doc_id"], kind="mergesort")
+        t = pdf["tok"].to_numpy()
+        off = bases[int(pdf["__part"].iat[0])] + t.cumsum() - t
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "tok": pdf["tok"], "off": off}
+        )
+
+    # explicit exchange on the grouping key (AQE would coalesce this
+    # small-by-bytes shuffle onto one task — see BENCH/BASELINE.md)
+    offs = (
+        keyed.repartition(P, "__part")
+        .groupBy("__part")
+        .applyInPandas(local_offsets, _OFF_SCHEMA)
+    )
+
+    cap = int(capacity)
+    ex = offs.select(
+        "doc_id",
+        "tok",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {cap}"), F.expr(f"(off + tok - 1) div {cap}")
+            )
+        ).alias("bin"),
+    )
+    seg_start = F.greatest(F.col("off"), F.col("bin") * cap)
+    seg_end = F.least(F.col("off") + F.col("tok"), (F.col("bin") + 1) * cap)
+    return ex.select(
+        "doc_id",
+        F.col("bin").cast("long").alias("bin"),
+        (seg_start - F.col("off")).cast("long").alias("tok_start"),
+        (seg_start - F.col("bin") * cap).cast("long").alias("pos_in_bin"),
+        (seg_end - seg_start).cast("long").alias("n_tok"),
+    )

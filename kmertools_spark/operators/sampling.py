@@ -67,3 +67,30 @@ def sample_sql_gate(id_expr: str, pct: float) -> str:
         f"(({SAMPLE_A} * (({id_expr}) % {MOD}) + {SAMPLE_B}) % {MOD})"
         f" < {int(pct * MOD)}"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. per-language quotas:
+    keep 100% of low-resource languages, 10% of English boilerplate).
+
+    Same hash gate as deterministic_sample, but the threshold is chosen
+    by the row's stratum: keep iff hash(id) < rate[stratum] * P. Strata
+    absent from ``rates`` use ``default_rate``. Still a pure filter —
+    the rate map compiles to a CASE expression (pushes to the scan, no
+    join, no shuffle) and membership stays a pure function of (id,
+    stratum), so re-runs, engines, and partitionings agree, and a row's
+    membership is MONOTONE in the rate (raising a stratum's rate only
+    ADDS rows — stable incremental re-quota).
+    """
+    thr = F.lit(int(default_rate * MOD))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(rate * MOD))
+        ).otherwise(thr)
+    return df.where(_hash_col(F.col(id_col)) < thr)

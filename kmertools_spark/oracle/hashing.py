@@ -33,6 +33,9 @@ PLANE_A = int(_rng.randint(1, MOD - 1))
 PLANE_B = int(_rng.randint(0, MOD - 1))
 CENT_A = int(_rng.randint(1, MOD - 1))
 CENT_B = int(_rng.randint(0, MOD - 1))
+# PACK_* order the deterministic pre-packing shuffle (operators/packing)
+PACK_A = int(_rng.randint(1, MOD - 1))
+PACK_B = int(_rng.randint(0, MOD - 1))
 
 # Fixed-point scale for FP-free bucket/centroid decisions: both engines
 # compute floor(double(v) * QUANT) — exact IEEE ops, so the int64

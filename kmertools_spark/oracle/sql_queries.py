@@ -318,6 +318,38 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang,
              WHEN n_words > 0 THEN 0.0 END, 0.0), 6) AS quality
 FROM feat"""
 
+    from .hashing import PERM_A as _PA
+    from .hashing import PERM_B as _PB
+
+    _sa, _sb = int(_PA[0]), int(_PB[0])
+    _strat_rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 1.0}
+    _strat_default = 0.1
+    _rate_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{s}' THEN {int(r * MOD)}"
+            for s, r in sorted(_strat_rates.items())
+        )
+        + f" ELSE {int(_strat_default * MOD)} END"
+    )
+    # q47: deterministic per-language sampling quotas (same hash gate
+    # as q43, threshold chosen by the q22 language heuristic)
+    q["q47_stratified_sample"] = f"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    {_lang_hits("en")} AS en, {_lang_hits("fr")} AS fr,
+    {_lang_hits("de")} AS de, {_lang_hits("es")} AS es
+  FROM base
+),
+lng AS (SELECT doc_id, {lang_case} AS lang FROM hits)
+SELECT doc_id, lang FROM lng
+WHERE (({_sa} * (doc_id % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
+
     q["q23_fingerprint"] = f"""
 WITH sh AS ({shingle_cte(16)})
 SELECT doc_id, CAST(min(h) AS BIGINT) AS fp FROM sh GROUP BY doc_id"""
@@ -569,6 +601,41 @@ SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
 FROM reach GROUP BY node"""
 
     _add_ann_oracles(q)
+
+    from .hashing import PACK_A, PACK_B
+
+    # q46: deterministic shuffle + concat-and-chunk packing into
+    # 512-token windows (operators/packing.pack_documents, order="hash").
+    # The oracle's window cumsum is the single-task plan the distributed
+    # prefix-sum operator exists to avoid — identical values.
+    cap = 512
+    q["q46_pack_documents"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+         ELSE (length(text) - length(replace(text, ' ', ''))) + 1
+         END AS BIGINT) AS tok,
+    (({PACK_A} * (doc_id % {MOD}) + {PACK_B}) % {MOD}) AS h
+  FROM documents
+),
+off AS (
+  SELECT doc_id, tok,
+    CAST(COALESCE(sum(tok) OVER (ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM tk WHERE tok > 0
+),
+ex AS (
+  SELECT doc_id, tok, off,
+    unnest(range(off // {cap}, (off + tok - 1) // {cap} + 1)) AS bin
+  FROM off
+)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+  CAST(GREATEST(off, bin * {cap}) - off AS BIGINT) AS tok_start,
+  CAST(GREATEST(off, bin * {cap}) - bin * {cap} AS BIGINT) AS pos_in_bin,
+  CAST(LEAST(off + tok, (bin + 1) * {cap})
+       - GREATEST(off, bin * {cap}) AS BIGINT) AS n_tok
+FROM ex"""
+
     return q
 
 

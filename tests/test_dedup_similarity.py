@@ -417,3 +417,45 @@ def test_cosine_neardup_lsh_hash_planes_exact_precision(spark, emb):
     for pair, cos in got.items():
         assert pair in exact and abs(exact[pair] - cos) < 1e-9, pair
     assert len(got) >= len(exact) // 2  # multi-table recall
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    """Per-stratum gate: membership is a pure function of (id, stratum)
+    (partition-independent), each stratum's keep set equals its plain
+    deterministic_sample at that rate, and raising a rate only ADDS
+    rows (monotone re-quota)."""
+    import pandas as pd
+
+    from kmertools_spark.operators import deterministic_sample, stratified_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4000),
+            "lang": [["en", "fr", "de", "zz"][i % 4] for i in range(4000)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rates = {"en": 0.5, "fr": 1.0, "de": 0.25}
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(df, "doc_id", "lang", rates, 0.1).collect()
+    }
+    got2 = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(
+            df.repartition(17), "doc_id", "lang", rates, 0.1
+        ).collect()
+    }
+    assert got == got2
+    for lang, rate in {**rates, "zz": 0.1}.items():
+        sub = df.where(df.lang == lang)
+        want = {(r.doc_id, r.lang) for r in deterministic_sample(sub, "doc_id", rate).collect()}
+        assert {g for g in got if g[1] == lang} == want, lang
+    # monotone: raising en 0.5 -> 0.8 strictly adds, never removes
+    more = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(
+            df, "doc_id", "lang", {**rates, "en": 0.8}, 0.1
+        ).collect()
+    }
+    assert got < more

@@ -1,0 +1,68 @@
+"""pack_documents: deterministic shuffle + concat-and-chunk packing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kmertools_spark.operators import pack_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "x", "longword"]
+    rows = []
+    for i in range(300):
+        n = int(rng.randint(0, 40))  # include zero-token docs
+        rows.append((i, " ".join(rng.choice(words, n)) if n else ""))
+    # sparse/huge ids too
+    rows += [(10**12 + 7, "spread across many windows " * 40)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _collect(df):
+    return (
+        df.toPandas().sort_values(["doc_id", "bin"]).reset_index(drop=True)
+    )
+
+
+def test_pack_invariants_and_determinism(spark, docs):
+    cap = 64
+    out = _collect(pack_documents(docs, capacity=cap, order="hash"))
+    # per-document tiling: n_tok sums to the doc's token count
+    toks = {
+        r.doc_id: r.tok
+        for r in docs.selectExpr(
+            "doc_id",
+            "CASE WHEN length(text)=0 THEN 0 ELSE "
+            "length(text)-length(replace(text,' ',''))+1 END AS tok",
+        ).collect()
+    }
+    per_doc = out.groupby("doc_id")["n_tok"].sum()
+    for d, s in per_doc.items():
+        assert s == toks[d], d
+    assert set(per_doc.index) == {d for d, t in toks.items() if t > 0}
+    # every bin except the last is exactly full; positions tile each bin
+    for b, g in out.groupby("bin"):
+        assert (g["pos_in_bin"] + g["n_tok"]).max() <= cap
+        covered = g["n_tok"].sum()
+        if b < out["bin"].max():
+            assert covered == cap, b
+    # partition-count independence (distributed prefix sum is exact)
+    out2 = _collect(
+        pack_documents(docs.repartition(13), capacity=cap, order="hash", n_parts=5)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_pack_id_order_is_sequential(spark, docs):
+    out = _collect(pack_documents(docs, capacity=128, order="id"))
+    # in id order, offsets are nondecreasing with doc_id: the first bin
+    # of each doc is nondecreasing too
+    first_bin = out.groupby("doc_id")["bin"].min()
+    assert (first_bin.sort_index().diff().dropna() >= 0).all()
+
+
+def test_pack_rejects_bad_order(spark, docs):
+    with pytest.raises(ValueError):
+        pack_documents(docs, capacity=64, order="random")
