@@ -169,3 +169,34 @@ def test_asof_broadcast_plan_is_broadcast(spark, tdf):
     plan = _plan(asof_join_broadcast(tdf, probes))
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_packing_has_no_global_window(spark):
+    """pack_documents' global token offset is a distributed prefix sum:
+    the plan must contain NO Window operator (a global `sum() OVER
+    (ORDER BY ...)` would be a single-partition sort — the thing the
+    operator exists to avoid) and no single-partition exchange."""
+    import pandas as pd
+
+    from kmertools_spark.operators import pack_documents
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "text": ["a b c"] * 100})
+    )
+    plan = _plan(pack_documents(docs, capacity=16, order="hash"))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_pushes_filter_no_shuffle(spark):
+    """The per-stratum gate is one CASE filter: no Exchange, no Join."""
+    import pandas as pd
+
+    from kmertools_spark.operators import stratified_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "lang": ["en", "fr"] * 50})
+    )
+    plan = _plan(stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
