@@ -376,6 +376,32 @@ def q47_stratified_sample(spark, sf_dir):
     )
 
 
+def q48_normalize_text(spark, sf_dir):
+    """Cleaning normalizer (control chars -> space, collapse runs,
+    trim) — pure codegen expressions with an engine-portable regex."""
+    from kmertools_spark.functions import normalize_text
+
+    d = _docs(spark, sf_dir)
+    n = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id", n.alias("norm"), F.length(n).cast("long").alias("n_chars")
+    )
+
+
+def q49_repetition_ratio(spark, sf_dir):
+    """distinct-4gram / total-4gram repetition filter, computed per row
+    with NO gram explosion (transform + array_distinct + size in
+    codegen); the twin counts DISTINCT grams relationally."""
+    from kmertools_spark.functions import repetition_ratio
+
+    d = _docs(spark, sf_dir)
+    return d.where(F.length("text") >= 4).select(
+        "doc_id",
+        (F.length("text") - 3).cast("long").alias("n_grams"),
+        repetition_ratio(F.col("text"), 4).alias("rep_ratio"),
+    )
+
+
 def q23_fingerprint(spark, sf_dir):
     from kmertools_spark.functions import doc_fingerprint
 
@@ -717,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_cosine_neardup_lsh": q45_cosine_neardup_lsh,
         "q46_pack_documents": q46_pack_documents,
         "q47_stratified_sample": q47_stratified_sample,
+        "q48_normalize_text": q48_normalize_text,
+        "q49_repetition_ratio": q49_repetition_ratio,
     }
 
 

@@ -12,7 +12,14 @@ from .composition import (
 from .hashing import doc_fingerprint, minhash_sig, simhash_value
 from .kmers import exploded_kmers, kmer_count_pairs
 from .minimizers import exploded_minimisers
-from .text import lang_guess, occurrences, quality_score, token_count
+from .text import (
+    lang_guess,
+    normalize_text,
+    occurrences,
+    quality_score,
+    repetition_ratio,
+    token_count,
+)
 
 __all__ = [
     "cgr_points",
@@ -28,6 +35,8 @@ __all__ = [
     "kmer_count_pairs",
     "exploded_minimisers",
     "lang_guess",
+    "normalize_text",
+    "repetition_ratio",
     "occurrences",
     "quality_score",
     "token_count",

@@ -79,3 +79,32 @@ def quality_score(col: Column) -> Column:
         n_chars > 0, alpha.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
     return F.round(0.5 * alpha_ratio + 0.5 * F.coalesce(band, F.lit(0.0)), 6)
+
+
+def normalize_text(col: Column) -> Column:
+    """Cleaning normalizer: control chars (incl. tab/newline) -> space,
+    collapse space runs, trim. Regex classes are chosen to behave
+    identically under Java regex (Spark) and RE2 (DuckDB) — no \\s,
+    whose class differs between the two engines."""
+    c = F.regexp_replace(col, "[\\x00-\\x1F]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def repetition_ratio(col: Column, n: int = 4) -> Column:
+    """distinct n-grams / total n-grams in [0, 1] (low = repetitive
+    boilerplate — the standard cheap repetition filter). Pure per-row
+    expression: transform + array_distinct + size stay in codegen, so
+    there is no gram explosion and no shuffle. NULL for texts shorter
+    than n."""
+    total = F.length(col) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), total), lambda i: F.substring(col, i, F.lit(n))
+    )
+    return F.when(
+        total > 0,
+        F.round(
+            F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+            6,
+        ),
+    )

@@ -350,6 +350,30 @@ lng AS (SELECT doc_id, {lang_case} AS lang FROM hits)
 SELECT doc_id, lang FROM lng
 WHERE (({_sa} * (doc_id % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
 
+    # q48: portable-regex normalizer (no \\s — Java and RE2 disagree on
+    # its class); DuckDB needs the 'g' flag for replace-all
+    q["q48_normalize_text"] = r"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
+                        ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars FROM n"""
+
+    # q49: repetition filter — the oracle counts DISTINCT grams
+    # relationally; the engine computes the same ratio per row in codegen
+    q["q49_repetition_ratio"] = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 4) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
+        FROM documents WHERE length(text) >= 4) _
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS rep_ratio
+FROM g GROUP BY doc_id"""
+
     q["q23_fingerprint"] = f"""
 WITH sh AS ({shingle_cte(16)})
 SELECT doc_id, CAST(min(h) AS BIGINT) AS fp FROM sh GROUP BY doc_id"""

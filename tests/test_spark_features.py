@@ -196,3 +196,57 @@ def test_cgr_error_column_surface(spark):
 
     with _pytest.raises(ValueError, match="Bad nucleotide"):
         CgrComputer(vecsize=1.0).vectorise_one("ACXGT")
+
+
+def test_normalize_text_and_repetition_ratio(spark):
+    """Cleaning normalizer + repetition filter on adversarial inputs:
+    control chars, tabs/newlines, repeats, short and empty texts —
+    values must also match a plain-Python replay of the spec."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kmertools_spark.functions import normalize_text, repetition_ratio
+
+    texts = [
+        "  hello\tworld\n\nfoo  bar  ",
+        "\x00\x01abc\x1f",
+        "aaaaaaaaaaaaaaaa",          # fully repetitive
+        "abcdefghij",                # fully unique
+        "ab",                        # shorter than n -> NULL ratio
+        "",
+        "x \x0b y",                  # \x0b IS a control char (0x0B)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = (
+        df.select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("norm"),
+            repetition_ratio(F.col("text"), 4).alias("rep"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def py_norm(t):
+        t = re.sub("[\x00-\x1f]", " ", t)
+        return re.sub(" +", " ", t).strip()
+
+    def py_rep(t):
+        total = len(t) - 3
+        if total <= 0:
+            return None
+        grams = {t[i : i + 4] for i in range(total)}
+        return round(len(grams) / total, 6)
+
+    for i, t in enumerate(texts):
+        assert got.loc[i, "norm"] == py_norm(t), (i, t)
+        want = py_rep(t)
+        if want is None:
+            assert pd.isna(got.loc[i, "rep"]), i
+        else:
+            assert abs(got.loc[i, "rep"] - want) < 1e-12, (i, t)
+    # the repetitive text scores far below the unique one
+    assert got.loc[2, "rep"] < 0.1 < 0.9 < got.loc[3, "rep"]
