@@ -1,0 +1,113 @@
+"""Corpus dedup job for spark-submit.
+
+Cluster invocation (the training-data-pipeline deployment shape):
+
+    python jobs/package.py                       # builds dist/kmertools_spark.zip
+    spark-submit --py-files dist/kmertools_spark.zip \\
+        jobs/dedup_job.py \\
+        --input /root/testdata/sf0.1 --output /tmp/dedup \\
+        [--bands 4] [--ngram 4] [--threshold 0.4] [--max-bucket 256] \\
+        [--checkpoint-dir /tmp/dedup_ckpt]
+
+Runs the full MinHash -> capped LSH -> candidate-driven Jaccard verify
+-> connected components pipeline (operators.dedup.dedup_keep) over the
+documents table and writes the keep list as parquet
+(doc_id, cluster_id, keep), then prints a one-line JSON summary.
+
+Scale defaults differ from the gate query: the hot-band cap is ON
+(star-capped flooded buckets, connectivity-exact — docs/SCALE.md item
+3) and connected components use a reliable checkpoint dir when one is
+given (executor-loss-safe lineage truncation on a real cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+try:  # on a cluster the zip arrives via --py-files; locally use the repo
+    import kmertools_spark  # noqa: F401
+
+    _NEED_PYFILES = False
+except ImportError:
+    _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _REPO)  # driver side
+    _NEED_PYFILES = True  # executors need the packaged zip (addPyFile below)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="scale-factor dir or parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--ngram", type=int, default=4)
+    ap.add_argument("--threshold", type=float, default=0.4)
+    ap.add_argument("--max-bucket", type=int, default=256)
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("kmertools-dedup").getOrCreate()
+    if _NEED_PYFILES:
+        # ship the same artifact spark-submit --py-files would: executor
+        # python workers cannot see the driver's sys.path
+        zipp = os.path.join(_REPO, "dist", "kmertools_spark.zip")
+        if not os.path.exists(zipp):
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join(_REPO, "jobs", "package.py")],
+                check=True,
+            )
+        spark.sparkContext.addPyFile(zipp)
+
+    from kmertools_spark.operators import dedup_keep
+
+    path = args.input
+    if not path.endswith(".parquet"):
+        path = f"{path}/documents.parquet"
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    keep = dedup_keep(
+        docs,
+        bands=args.bands,
+        n=args.ngram,
+        threshold=args.threshold,
+        max_bucket=args.max_bucket,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    keep.write.mode("overwrite").parquet(args.output)
+    wall = time.time() - t0
+
+    out = spark.read.parquet(args.output)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.countDistinct("cluster_id").alias("clusters"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "job": "dedup",
+                "input": path,
+                "output": args.output,
+                "docs": int(agg["docs"]),
+                "kept": int(agg["kept"]),
+                "clusters": int(agg["clusters"]),
+                "dup_fraction": round(1 - agg["kept"] / max(1, agg["docs"]), 6),
+                "wall_sec": round(wall, 3),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

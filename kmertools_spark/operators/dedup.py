@@ -282,6 +282,7 @@ def dedup_keep(
     max_bucket: int | None = None,
     n: int = 4,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The complete near-dup pipeline as one operator:
     MinHash -> LSH banding (optionally hot-band-capped) -> candidate-
@@ -305,7 +306,9 @@ def dedup_keep(
     verified = jaccard_for_pairs(
         cand, docs, id_col, text_col, n=n, threshold=threshold
     ).select("id_a", "id_b")
-    clusters = dedup_clusters(verified, docs.select(id_col), id_col)
+    clusters = dedup_clusters(
+        verified, docs.select(id_col), id_col, checkpoint_dir=checkpoint_dir
+    )
     return clusters.select(
         id_col,
         "cluster_id",
