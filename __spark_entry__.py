@@ -221,6 +221,21 @@ def q39_asof_broadcast(spark, sf_dir):
     return asof_join_broadcast(t, p, value_cols=("turn_idx", "text_len"))
 
 
+def q50_asof_tolerance(spark, sf_dir):
+    """q13's leakage-free as-of pick with a 1-hour staleness bound
+    (pandas merge_asof tolerance semantics): probes whose latest
+    preceding turn is older than the tolerance get nulls — the guard a
+    feature store needs so dead entities are not served stale rows."""
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.sources import probes_df
+
+    t = _t(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    p = probes_df(spark, sf_dir).distinct()
+    return asof_join(
+        t, p, value_cols=("turn_idx", "text_len"), tolerance_ms=3_600_000
+    )
+
+
 def q40_dedup_digest(spark, sf_dir):
     """q15's exact dedup through the digest plan (group on sha256 +
     length; the exchange never carries document text) — same oracle."""
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_stratified_sample": q47_stratified_sample,
         "q48_normalize_text": q48_normalize_text,
         "q49_repetition_ratio": q49_repetition_ratio,
+        "q50_asof_tolerance": q50_asof_tolerance,
     }
 
 

@@ -29,11 +29,19 @@ def asof_join(
     ts_col: str = "ts",
     probe_ts_col: str = "probe_ts",
     value_cols: tuple[str, ...] = ("turn_idx",),
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """Attach the latest strictly-earlier feature row to each probe.
 
     Returns one row per probe: (on, probe_ts, asof_<value_col>...),
     null-valued when no feature row precedes the probe.
+
+    ``tolerance_ms`` bounds staleness (pandas merge_asof semantics): a
+    probe whose latest preceding feature is older than the tolerance
+    gets nulls instead — the guard real feature stores need so a
+    decommissioned entity's years-old row is not served as "current".
+    Because tolerance is a lower bound on ts, nulling the picked row is
+    equivalent to filtering candidates before the pick.
     """
     # the whole candidate row travels as ONE struct so the probe picks a
     # consistent latest row (no torn columns when a value is null), and
@@ -67,14 +75,37 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     picked = F.last("__payload", ignorenulls=True).over(w).alias("__picked")
-    return (
-        u.select(on, "__t", _EV, picked)
-        .where(F.col(_EV) == 0)
-        .select(
+    out = u.select(on, "__t", _EV, picked).where(F.col(_EV) == 0)
+    if tolerance_ms is not None:
+        from .timeutil import epoch_ms
+
+        # the picked struct's own event time rides in the payload via a
+        # second last() over the SAME window/order (same row picked)
+        tms = F.last(
+            F.when(F.col(_EV) == 1, epoch_ms("__t")), ignorenulls=True
+        ).over(w)
+        out = (
+            u.select(on, "__t", _EV, picked, tms.alias("__picked_tms"))
+            .where(F.col(_EV) == 0)
+            .withColumn(
+                "__fresh",
+                F.col("__picked_tms") >= epoch_ms("__t") - F.lit(tolerance_ms),
+            )
+        )
+        return out.select(
             on,
             F.col("__t").alias(probe_ts_col),
-            *[F.col(f"__picked.asof_{c}").alias(f"asof_{c}") for c in value_cols],
+            *[
+                F.when(F.col("__fresh"), F.col(f"__picked.asof_{c}")).alias(
+                    f"asof_{c}"
+                )
+                for c in value_cols
+            ],
         )
+    return out.select(
+        on,
+        F.col("__t").alias(probe_ts_col),
+        *[F.col(f"__picked.asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 
@@ -85,10 +116,13 @@ def asof_join_broadcast(
     ts_col: str = "ts",
     probe_ts_col: str = "probe_ts",
     value_cols: tuple[str, ...] = ("turn_idx",),
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """Alternative plan for small probe sets: broadcast range join +
     per-probe top-1 (row_number). Same strict-< semantics (incl. null
-    rows for probes no feature precedes).
+    rows for probes no feature precedes) and the same ``tolerance_ms``
+    staleness bound as asof_join (here an extra range-join predicate:
+    stale probes fall into the missed branch and emit nulls).
 
     Spark cannot broadcast the preserved side of an outer join (the
     hint is silently dropped for `build left / left outer`), so the
@@ -104,13 +138,19 @@ def asof_join_broadcast(
     """
     probe_keys = probes.select(F.col(on), F.col(probe_ts_col))
     probes = probe_keys.distinct()
+    conds = [
+        F.col(f"p.{on}") == F.col(f"f.{on}"),
+        F.col(f"f.{ts_col}") < F.col(f"p.{probe_ts_col}"),
+    ]
+    if tolerance_ms is not None:
+        from .timeutil import epoch_ms
+
+        conds.append(
+            epoch_ms(f"f.{ts_col}")
+            >= epoch_ms(f"p.{probe_ts_col}") - F.lit(tolerance_ms)
+        )
     j = F.broadcast(probes.alias("p")).join(
-        features.alias("f"),
-        on=[
-            F.col(f"p.{on}") == F.col(f"f.{on}"),
-            F.col(f"f.{ts_col}") < F.col(f"p.{probe_ts_col}"),
-        ],
-        how="inner",
+        features.alias("f"), on=conds, how="inner"
     )
     w = Window.partitionBy(f"p.{on}", f"p.{probe_ts_col}").orderBy(
         F.col(f"f.{ts_col}").desc(), F.col("f.turn_idx").desc()

@@ -174,6 +174,22 @@ j AS (
 SELECT conv_id, probe_ts, turn_idx AS asof_turn_idx, text_len AS asof_text_len
 FROM j WHERE rn = 1"""
 
+    # q50: q13 + 1h staleness tolerance. Tolerance is a LOWER bound on
+    # ts, so filtering candidates before the rank (here) equals nulling
+    # the picked row after (the Spark union-marker plan).
+    q["q50_asof_tolerance"] = f"""
+WITH {T}, {P},
+j AS (
+  SELECT p.conv_id, p.probe_ts, t.turn_idx,
+    CAST(length(t.text) AS BIGINT) AS text_len,
+    row_number() OVER (PARTITION BY p.conv_id, p.probe_ts
+                       ORDER BY t.ts DESC, t.turn_idx DESC) AS rn
+  FROM p LEFT JOIN t ON t.conv_id = p.conv_id AND t.ts < p.probe_ts
+    AND epoch_ms(t.ts) >= epoch_ms(p.probe_ts) - 3600000
+)
+SELECT conv_id, probe_ts, turn_idx AS asof_turn_idx, text_len AS asof_text_len
+FROM j WHERE rn = 1"""
+
     q["q14_session_to_date"] = f"""
 WITH {T}, {SESS}
 SELECT conv_id, turn_idx,

@@ -343,3 +343,47 @@ def test_backfill_auto_routes_and_matches_stream(spark, tdf):
     # sanity: the threshold really split the corpus (some conv is hot)
     sizes = df.groupBy("conv_id").count().toPandas()
     assert (sizes["count"] > 8).any() and (sizes["count"] <= 8).any()
+
+
+@pytest.mark.parametrize("impl", ["window", "broadcast"])
+def test_asof_join_tolerance_staleness(spark, impl):
+    """tolerance_ms (merge_asof semantics): a probe whose latest
+    preceding feature is older than the bound gets nulls; a fresh pick
+    is unchanged. Both physical plans agree with a python oracle."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    feat = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "c"],
+            "turn_idx": [0, 1, 0, 0],
+            "ts": [
+                base,                                  # a: stale for p1
+                base + pd.Timedelta(minutes=55),       # a: fresh for p1
+                base - pd.Timedelta(hours=3),          # b: stale only
+                base + pd.Timedelta(minutes=90),       # c: AFTER the probe
+            ],
+        }
+    )
+    probes = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c", "d"],
+            "probe_ts": [base + pd.Timedelta(minutes=60)] * 4,
+        }
+    )
+    fdf = spark.createDataFrame(feat)
+    pdf_ = spark.createDataFrame(probes)
+    fn = asof_join if impl == "window" else asof_join_broadcast
+    got = {
+        r.conv_id: (None if r.asof_turn_idx is None else int(r.asof_turn_idx))
+        for r in fn(fdf, pdf_, value_cols=("turn_idx",), tolerance_ms=3_600_000).collect()
+    }
+    # a: picks turn 1 (5 min stale, within 1h); b: only row is 4h stale
+    # -> null; c: feature is in the future -> null; d: no features -> null
+    assert got == {"a": 1, "b": None, "c": None, "d": None}
+    # without tolerance, b resolves
+    got_free = {
+        r.conv_id: (None if r.asof_turn_idx is None else int(r.asof_turn_idx))
+        for r in fn(fdf, pdf_, value_cols=("turn_idx",)).collect()
+    }
+    assert got_free["b"] == 0 and got_free["a"] == 1
