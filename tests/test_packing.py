@@ -66,3 +66,50 @@ def test_pack_id_order_is_sequential(spark, docs):
 def test_pack_rejects_bad_order(spark, docs):
     with pytest.raises(ValueError):
         pack_documents(docs, capacity=64, order="random")
+
+
+def test_pack_hypothesis_invariants(spark):
+    """Property test: for random token multisets and capacities, the
+    packing tiles every document exactly once, fills every non-final
+    bin to capacity, and the distributed result equals a sequential
+    python replay of the spec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kmertools_spark.oracle.hashing import MOD, PACK_A, PACK_B
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+        cap=st.integers(min_value=1, max_value=97),
+    )
+    def check(toks, cap):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(toks)),
+                # build a text with exactly t whitespace tokens
+                "text": ["w " * (t - 1) + "w" if t else "" for t in toks],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = (
+            pack_documents(df, capacity=cap, order="hash", n_parts=3)
+            .toPandas()
+            .sort_values(["doc_id", "bin"])
+        )
+        # sequential python replay of the spec
+        order = sorted(
+            (i for i, t in enumerate(toks) if t > 0),
+            key=lambda i: ((PACK_A * (i % MOD) + PACK_B) % MOD, i),
+        )
+        off, want = 0, []
+        for i in order:
+            t = toks[i]
+            for b in range(off // cap, (off + t - 1) // cap + 1):
+                s, e2 = max(off, b * cap), min(off + t, (b + 1) * cap)
+                want.append((i, b, s - off, s - b * cap, e2 - s))
+            off += t
+        got = list(map(tuple, out.to_numpy()))
+        assert sorted(got) == sorted(want)
+
+    check()

@@ -290,3 +290,45 @@ def test_streaming_lsh_candidates_max_bucket_star(spark, tmp_path):
     # every doc is connected to the component (star edges reach all)
     nodes = {n for e in got for n in e}
     assert nodes == set(range(8))
+
+
+def test_sampling_filters_are_streaming_compatible(spark, tmp_path):
+    """Pure hash-gate filters (deterministic/stratified sampling) run
+    unchanged on a readStream source — no state, no watermark, and the
+    streamed keep set equals the batch keep set."""
+    import pandas as pd
+
+    from kmertools_spark.operators import sample_slice, stratified_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "lang": [["en", "fr"][i % 2] for i in range(500)],
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf.to_parquet(src / "b1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = tmp_path / "out"
+    q = (
+        stratified_sample(
+            sample_slice(stream, "doc_id", 0.0, 0.8), "doc_id", "lang", {"en": 0.5}, 0.2
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(pdf)
+    want = {
+        r.doc_id
+        for r in stratified_sample(
+            sample_slice(batch, "doc_id", 0.0, 0.8), "doc_id", "lang", {"en": 0.5}, 0.2
+        ).collect()
+    }
+    assert got == want and want
