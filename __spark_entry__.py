@@ -672,6 +672,23 @@ def q44_ann_topk_gemm(spark, sf_dir):
     return cosine_topk_gemm(emb, emb.where("vec_id < 8"), k=5)
 
 
+def q51_embedding_dedup_keep(spark, sf_dir):
+    """Semantic (embedding) dedup keep-list end to end: hash-plane LSH
+    candidates -> exact cosine verify -> connected components ->
+    (vec_id, cluster_id, keep) — the embedding twin of q42, fully
+    deterministic under the oracle."""
+    from kmertools_spark.operators import embedding_dedup_keep
+
+    return embedding_dedup_keep(
+        _emb(spark, sf_dir).where("vec_id < 2000"),
+        dim=64,
+        threshold=0.2,
+        n_planes=8,
+        n_tables=2,
+        planes="hash",
+    )
+
+
 def q46_pack_documents(spark, sf_dir):
     """Deterministic shuffle + concat-and-chunk sequence packing into
     512-token context windows: one row per (document, window) overlap.
@@ -761,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_normalize_text": q48_normalize_text,
         "q49_repetition_ratio": q49_repetition_ratio,
         "q50_asof_tolerance": q50_asof_tolerance,
+        "q51_embedding_dedup_keep": q51_embedding_dedup_keep,
     }
 
 

@@ -34,6 +34,7 @@ from .similarity import (
     cosine_neardup_lsh,
     cosine_neardup_pairs,
     cosine_topk,
+    embedding_dedup_keep,
     cosine_topk_gemm,
     hyperplane_buckets,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "ann_topk_lsh",
     "cosine_neardup_lsh",
     "cosine_neardup_pairs",
+    "embedding_dedup_keep",
     "cosine_topk",
     "cosine_topk_gemm",
     "hyperplane_buckets",

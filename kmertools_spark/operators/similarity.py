@@ -582,3 +582,50 @@ def cosine_neardup_pairs(
         .withColumn("cos", F.round("cos", 6))
         .where(F.col("cos") >= threshold)
     )
+
+
+def embedding_dedup_keep(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = ANN_SEED,
+    planes: str = "gauss",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The embedding twin of operators.dedup.dedup_keep: multi-table
+    hyperplane LSH candidates -> exact cosine verify -> connected
+    components -> (id, cluster_id, keep).
+
+    Semantic dedup for embedding corpora: every vector is labeled with
+    its verified near-dup cluster (min reachable id) and
+    keep = (vector is the cluster minimum) — the row a training
+    pipeline filters on. Every stage is the scale-safe formulation
+    (bucket equi-joins, candidate-driven verify, pointer-jumping
+    components); with ``planes="hash"`` the whole pipeline is
+    deterministic and oracle-checkable (gate q51).
+    """
+    from .dedup import dedup_clusters
+
+    pairs = cosine_neardup_lsh(
+        df,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        planes=planes,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(
+        pairs, df.select(id_col), id_col, checkpoint_dir=checkpoint_dir
+    )
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

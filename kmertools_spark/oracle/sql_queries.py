@@ -791,11 +791,10 @@ cand AS (
     # q44: the GEMM physical path computes the identical exact top-k
     q["q44_ann_topk_gemm"] = q["q20_ann_topk"]
 
-    # q45: multi-table hash-plane near-dup LSH + exact cosine verify
-    # (cosine_neardup_lsh(planes="hash"), n_tables=2, n_planes=8,
-    # threshold=0.2, vec_id < 2000)
-    q["q45_cosine_neardup_lsh"] = f"""
-WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+    # q45/q51 shared body: multi-table hash-plane near-dup candidates +
+    # exact cosine verify (cosine_neardup_lsh(planes="hash"),
+    # n_tables=2, n_planes=8, threshold=0.2, vec_id < 2000)
+    neardup_ctes = f"""emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
 {_qdim_cte("emb")},
 proj AS (
   SELECT vec_id, t, p,
@@ -829,6 +828,35 @@ dots AS (
   SELECT id_a, id_b, sum(x * y) AS dot,
          sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
   FROM expl GROUP BY id_a, id_b
-)
+)"""
+
+    q["q45_cosine_neardup_lsh"] = (
+        "WITH "
+        + neardup_ctes
+        + """
 SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
 FROM dots WHERE round(dot / (na * nb), 6) >= 0.2"""
+    )
+
+    # q51: the embedding dedup keep-list — q45's verified pairs fed
+    # through connected components (recursive CTE, same shape as q42)
+    q["q51_embedding_dedup_keep"] = (
+        "WITH RECURSIVE "
+        + neardup_ctes
+        + """,
+ver AS (
+  SELECT id_a, id_b FROM dots WHERE round(dot / (na * nb), 6) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM emb
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id,
+       (node = min(r)) AS keep
+FROM reach GROUP BY node"""
+    )
