@@ -417,6 +417,41 @@ def q49_repetition_ratio(spark, sf_dir):
     )
 
 
+def q52_training_prep(spark, sf_dir):
+    """The capstone pipeline, composed entirely from gated operators:
+    normalize -> quality/repetition/token filters -> per-language
+    stratified sampling -> deterministic shuffle + sequence packing
+    into 256-token windows. One oracle verifies the whole composition:
+    every stage is pure Catalyst or the distributed prefix sum, so the
+    only shuffle in the plan is packing's ~24 B/doc exchange."""
+    from kmertools_spark.functions import (
+        lang_guess,
+        normalize_text,
+        quality_score,
+        repetition_ratio,
+        token_count,
+    )
+    from kmertools_spark.operators import pack_documents, stratified_sample
+
+    d = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        norm.alias("norm"),
+        token_count(norm).alias("n_tok"),
+        quality_score(norm).alias("q"),
+        repetition_ratio(norm, 4).alias("rep"),
+        lang_guess(norm).alias("lang"),
+    )
+    kept = feats.where(
+        (F.col("q") >= 0.5) & (F.col("rep") >= 0.3) & (F.col("n_tok") >= 5)
+    )
+    sampled = stratified_sample(kept, "doc_id", "lang", {"en": 0.8}, 0.3)
+    return pack_documents(
+        sampled, capacity=256, tokens_col="n_tok", order="hash"
+    )
+
+
 def q23_fingerprint(spark, sf_dir):
     from kmertools_spark.functions import doc_fingerprint
 
@@ -779,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_repetition_ratio": q49_repetition_ratio,
         "q50_asof_tolerance": q50_asof_tolerance,
         "q51_embedding_dedup_keep": q51_embedding_dedup_keep,
+        "q52_training_prep": q52_training_prep,
     }
 
 

@@ -246,6 +246,9 @@ def dedup_clusters(
             break
     if _stats is not None:
         _stats["rounds"] = rounds
+    # the final labels are (local)checkpointed, so their lineage no
+    # longer reaches these caches — release executor memory now
+    edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

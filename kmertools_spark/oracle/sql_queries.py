@@ -366,6 +366,85 @@ lng AS (SELECT doc_id, {lang_case} AS lang FROM hits)
 SELECT doc_id, lang FROM lng
 WHERE (({_sa} * (doc_id % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
 
+    # q52: the capstone composition — normalize -> quality/repetition/
+    # token filters -> per-language stratified sampling -> deterministic
+    # shuffle + 256-token packing. Each CTE is the proven q48/q22/q49/
+    # q47/q46 shape, run over the NORMALIZED text.
+    from .hashing import PACK_A as _PKA
+    from .hashing import PACK_B as _PKB
+
+    q["q52_training_prep"] = rf"""
+WITH nrm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
+                        ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+base AS (
+  SELECT doc_id, norm, ' ' || lower(norm) || ' ' AS pad,
+    CAST(length(norm) AS BIGINT) AS n_chars,
+    {_occ("norm", " ")} AS spaces
+  FROM nrm
+),
+rep AS (
+  SELECT doc_id,
+    round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS rep
+  FROM (SELECT doc_id, substr(norm, CAST(i AS INT), 4) AS gram
+        FROM (SELECT doc_id, norm,
+                     unnest(range(1, CAST(length(norm) - 3 AS BIGINT) + 1)) AS i
+              FROM nrm WHERE length(norm) >= 4) _) g
+  GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, n_chars, spaces,
+    {_lang_hits("en")} AS en, {_lang_hits("fr")} AS fr,
+    {_lang_hits("de")} AS de, {_lang_hits("es")} AS es
+  FROM base
+),
+feat AS (
+  SELECT doc_id,
+    CAST(CASE WHEN n_chars = 0 THEN 0 ELSE spaces + 1 END AS BIGINT) AS n_tok,
+    {lang_case} AS lang,
+    round(
+      0.5 * (CASE WHEN n_chars > 0
+                  THEN CAST(n_chars - spaces AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END)
+      + 0.5 * coalesce(
+          CASE WHEN (CASE WHEN n_chars = 0 THEN 0 ELSE spaces + 1 END) > 0
+                    AND CAST(n_chars - spaces AS DOUBLE) / (spaces + 1) >= 3.0
+                    AND CAST(n_chars - spaces AS DOUBLE) / (spaces + 1) <= 10.0
+               THEN 1.0
+               WHEN (CASE WHEN n_chars = 0 THEN 0 ELSE spaces + 1 END) > 0
+               THEN 0.0 END, 0.0), 6) AS q
+  FROM hits
+),
+keep AS (
+  SELECT f.doc_id, f.n_tok
+  FROM feat f JOIN rep r ON r.doc_id = f.doc_id
+  WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
+    AND (({_sa} * (f.doc_id % {MOD}) + {_sb}) % {MOD})
+        < CASE f.lang WHEN 'en' THEN {int(0.8 * MOD)} ELSE {int(0.3 * MOD)} END
+),
+off AS (
+  SELECT doc_id, n_tok AS tok,
+    CAST(COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM (SELECT keep.*,
+               (({_PKA} * (doc_id % {MOD}) + {_PKB}) % {MOD}) AS h
+        FROM keep) _
+),
+ex AS (
+  SELECT doc_id, tok, off,
+    unnest(range(off // 256, (off + tok - 1) // 256 + 1)) AS bin
+  FROM off
+)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+  CAST(GREATEST(off, bin * 256) - off AS BIGINT) AS tok_start,
+  CAST(GREATEST(off, bin * 256) - bin * 256 AS BIGINT) AS pos_in_bin,
+  CAST(LEAST(off + tok, (bin + 1) * 256)
+       - GREATEST(off, bin * 256) AS BIGINT) AS n_tok
+FROM ex"""
+
     # q48: portable-regex normalizer (no \\s — Java and RE2 disagree on
     # its class); DuckDB needs the 'g' flag for replace-all
     q["q48_normalize_text"] = r"""
