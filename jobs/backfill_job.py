@@ -19,18 +19,10 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
-try:  # on a cluster the zip arrives via --py-files; locally use the repo
-    import kmertools_spark  # noqa: F401
-
-    _NEED_PYFILES = False
-except ImportError:
-    _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, _REPO)  # driver side
-    _NEED_PYFILES = True  # executors need the packaged zip (addPyFile below)
+import _bootstrap
 
 
 def main() -> int:
@@ -46,16 +38,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("kmertools-backfill").getOrCreate()
-    if _NEED_PYFILES:
-        zipp = os.path.join(_REPO, "dist", "kmertools_spark.zip")
-        if not os.path.exists(zipp):
-            import subprocess
-
-            subprocess.run(
-                [sys.executable, os.path.join(_REPO, "jobs", "package.py")],
-                check=True,
-            )
-        spark.sparkContext.addPyFile(zipp)
+    _bootstrap.ensure_executors(spark)
 
     from kmertools_spark.operators import backfill_features_stream
     from kmertools_spark.plans import BackfillDriver

@@ -180,5 +180,20 @@ def asof_join_broadcast(
         )
     )
     per_key = matched.unionByName(missed)
-    # restore original probe multiplicity (one output row per input row)
-    return probe_keys.join(F.broadcast(per_key), [on, probe_ts_col], "inner")
+    # restore original probe multiplicity (one output row per input row);
+    # null-safe equality so NULL-key/NULL-ts probe rows survive the fan-
+    # out (they always land in the missed branch) instead of vanishing
+    pk = probe_keys.alias("pk")
+    k = per_key.alias("k")
+    return pk.join(
+        F.broadcast(k),
+        on=[
+            F.col(f"pk.{on}").eqNullSafe(F.col(f"k.{on}")),
+            F.col(f"pk.{probe_ts_col}").eqNullSafe(F.col(f"k.{probe_ts_col}")),
+        ],
+        how="inner",
+    ).select(
+        F.col(f"k.{on}").alias(on),
+        F.col(f"k.{probe_ts_col}").alias(probe_ts_col),
+        *[F.col(f"k.asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

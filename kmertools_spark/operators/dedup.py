@@ -204,7 +204,7 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
-    labels = ids.select(
+    labels = labels0 = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()
     rounds = 0
@@ -249,6 +249,8 @@ def dedup_clusters(
     # the final labels are (local)checkpointed, so their lineage no
     # longer reaches these caches — release executor memory now
     edges.unpersist()
+    if labels is not labels0:
+        labels0.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -371,6 +373,12 @@ def jaccard_for_pairs(
     it), never O(pairs through it)^2 — the scale-safe composition
     (VERDICT r1 item 4). Pairs sharing no gram drop out (their Jaccard
     is 0, below any positive threshold).
+
+    Cache lifetime: the gram relation is cached because three plan
+    subtrees reference it (sizes, side a, side b); the result is lazy,
+    so the cache must outlive the caller's action — long-lived sessions
+    issuing many verifications should unpersist via
+    ``spark.catalog.clearCache()`` or wrap the action themselves.
 
     The gram relation is cached: it feeds three plan subtrees (sizes,
     side-a, side-b) and would otherwise re-run the n-gram explosion

@@ -99,6 +99,8 @@ def pack_documents(
         )
     else:
         lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo is None:  # empty / all-zero-token input
+            lo, hi = 0, 0
         span = max(1, int(hi) - int(lo) + 1)
         # double math: (id - lo) * P could overflow int64 for extreme ids
         keyed = base.withColumn("__ord", F.col("doc_id")).withColumn(

@@ -478,7 +478,9 @@ def backfill_features_auto(
         return backfill_features_stream(
             df, k=k, n_turns=n_turns, gap_seconds=gap_seconds, norm=norm
         )
-    is_hot = F.col("conv_id").isin(list(hot_ids))
+    # coalesce: isin(...) is NULL for NULL conv_id, and both where(pred)
+    # and where(~pred) drop NULL predicates — NULL-key rows route cold
+    is_hot = F.coalesce(F.col("conv_id").isin(list(hot_ids)), F.lit(False))
     cold = backfill_features_stream(
         df.where(~is_hot), k=k, n_turns=n_turns, gap_seconds=gap_seconds, norm=norm
     )

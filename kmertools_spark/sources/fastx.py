@@ -142,10 +142,14 @@ _SCAN_CHUNK = 1 << 20
 
 
 def _parse_bytes(v: str) -> int:
-    """'1024' / '134217728b' / '128m' -> bytes."""
+    """'1024' / '134217728b' / '128m' / '128MB' / '64kb' -> bytes
+    (the full Spark byte-size conf syntax: optional k/m/g/t prefix,
+    optional trailing 'b')."""
     s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
     mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
         if s.endswith(suf):
             s = s[: -len(suf)]
             mult = m

@@ -75,25 +75,31 @@ except ImportError:
     _PILImage = None
     _HAS_PIL = False
 
-# magic prefixes of the formats Pillow decodes for us
-_IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM")
+# magic prefixes of the formats Pillow decodes for us (>= 3 bytes each:
+# a 2-byte magic like BMP's 'BM' false-positives on random payloads)
+_IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a")
 
 
 def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a payload to (h, w, 3) uint8 RGB.
 
     When Pillow is installed AND the payload starts with a real image
-    magic (PNG/JPEG/GIF/BMP), the actual codec runs and the true pixel
-    dims win over the metadata hint. Otherwise — this container has no
-    codecs — the deterministic fallback tiles the payload bytes to
-    (height, width, 3) so every downstream kernel (features, resize,
-    frame plumbing) exercises real shapes and real batches either way.
+    magic (PNG/JPEG/GIF), the actual codec runs and the true pixel dims
+    win over the metadata hint; a corrupt/truncated payload falls back
+    instead of failing the task (one bad blob must not kill a 100 TB
+    job). Otherwise — this container has no codecs — the deterministic
+    fallback tiles the payload bytes to (height, width, 3) so every
+    downstream kernel (features, resize, frame plumbing) exercises real
+    shapes and real batches either way.
     """
     if _HAS_PIL and payload.startswith(_IMAGE_MAGIC):
         import io
 
-        with _PILImage.open(io.BytesIO(payload)) as im:
-            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception:
+            pass  # corrupt header: deterministic fallback below
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = width * height * 3
     tiled = np.resize(raw, need)

@@ -8,10 +8,12 @@ exactly once per band as soon as its second member arrives — this is
 how a 100 TB corpus that arrives incrementally gets deduplicated
 without re-banding the history every day.
 
-State per (band, bucket) is the bucket's member ids (bounded by
-``max_bucket`` star-capping, evicted by event-time timeout once the
-bucket has been idle past ``state_horizon``), never the documents or
-signatures — O(bucket size) longs.
+State per (band, bucket) is the bucket's member ids — HARD-bounded at
+``max_bucket`` ids plus the star hub (post-cap arrivals are not
+retained: their replay dedup degrades to at-least-once, but the emitted
+pair SET is unchanged), evicted by event-time timeout once the bucket
+has been idle past ``state_horizon``. Never the documents or
+signatures.
 
 Semantics vs batch lsh_candidate_pairs (equality-tested):
 
@@ -52,7 +54,8 @@ _PAIRS = StructType(
 )
 _BUCKET_STATE = StructType(
     [
-        StructField("ids", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),  # <= max_bucket members
+        StructField("min_id", LongType()),  # star hub once capped
         StructField("last_ts", LongType()),
     ]
 )
@@ -110,7 +113,7 @@ def streaming_lsh_candidates(
             state.remove()
             yield pd.DataFrame(columns=["id_a", "id_b"])
             return
-        ids, last_ts = (state.get if state.exists else ([], 0))
+        ids, min_id, last_ts = (state.get if state.exists else ([], None, 0))
         members = list(ids or [])
         seen = set(members)
         frames = [p for p in pdfs if len(p)]
@@ -126,19 +129,25 @@ def streaming_lsh_candidates(
             doc = int(doc)
             last_ts = max(int(last_ts), int(ts))
             if doc in seen:
-                continue  # replay of an already-banded doc: exactly-once
+                continue  # replay of a retained doc: exactly-once
             if max_bucket is not None and len(members) >= max_bucket:
-                mn = min(members)
+                # capped bucket: state stays at max_bucket ids + the hub.
+                # Post-cap docs are NOT retained, so their replay dedup
+                # degrades to at-least-once — the emitted star edge is
+                # identical either way (pair SET unchanged).
+                mn = min_id if min_id is not None else min(members)
                 if doc != mn:
                     out_a.append(min(mn, doc))
                     out_b.append(max(mn, doc))
+                min_id = min(mn, doc)
             else:
                 for m in members:
                     out_a.append(min(m, doc))
                     out_b.append(max(m, doc))
-            members.append(doc)
-            seen.add(doc)
-        state.update((members, int(last_ts)))
+                members.append(doc)
+                seen.add(doc)
+                min_id = doc if min_id is None else min(min_id, doc)
+        state.update((members, min_id, int(last_ts)))
         state.setTimeoutTimestamp(int(last_ts) + state_horizon_ms)
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 

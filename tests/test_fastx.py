@@ -220,3 +220,16 @@ if HAVE_HYP:
             for r in read_fastx_distributed(spark, str(p), min_partitions=parts).collect()
         )
         assert got == want
+
+
+def test_parse_bytes_full_spark_syntax():
+    from kmertools_spark.sources.fastx import _parse_bytes
+
+    assert _parse_bytes("1024") == 1024
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("64kb") == 64 << 10
+    assert _parse_bytes("2g") == 2 << 30
+    assert _parse_bytes("1tb") == 1 << 40
+    assert _parse_bytes("1.5k") == 1536

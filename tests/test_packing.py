@@ -113,3 +113,10 @@ def test_pack_hypothesis_invariants(spark):
         assert sorted(got) == sorted(want)
 
     check()
+
+
+def test_pack_id_order_empty_and_zero_token_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_documents(empty, capacity=8, order="id").count() == 0
+    zeros = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    assert pack_documents(zeros, capacity=8, order="id").count() == 0

@@ -387,3 +387,30 @@ def test_asof_join_tolerance_staleness(spark, impl):
         for r in fn(fdf, pdf_, value_cols=("turn_idx",)).collect()
     }
     assert got_free["b"] == 0 and got_free["a"] == 1
+
+
+@pytest.mark.parametrize("impl", ["window", "broadcast"])
+def test_asof_join_null_key_probes_survive(spark, impl):
+    """A probe row with a NULL key (or NULL ts) must emit a null-valued
+    output row in BOTH physical plans, not vanish (code-review r3)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    feat = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"], "turn_idx": [0], "ts": [base]})
+    )
+    probes = spark.createDataFrame(
+        [
+            ("a", (base + pd.Timedelta(minutes=1)).to_pydatetime()),
+            (None, base.to_pydatetime()),
+            ("zz", None),
+        ],
+        "conv_id string, probe_ts timestamp",
+    )
+    fn = asof_join if impl == "window" else asof_join_broadcast
+    rows = fn(feat, probes, value_cols=("turn_idx",)).collect()
+    assert len(rows) == 3, rows
+    got = {(r.conv_id, r.asof_turn_idx) for r in rows}
+    assert ("a", 0) in got
+    assert (None, None) in got
+    assert ("zz", None) in got
