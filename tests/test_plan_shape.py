@@ -200,3 +200,16 @@ def test_stratified_sample_pushes_filter_no_shuffle(spark):
     plan = _plan(stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_training_prep_composition_single_exchange(spark):
+    """q52 (normalize -> filters -> stratified sample -> pack) composes
+    to ONE Exchange (packing's ~24 B/doc shuffle), no Window, no
+    single-partition stage — the whole prep pipeline is map-side until
+    the prefix-sum partitioning."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q52_training_prep(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1

@@ -332,3 +332,53 @@ def test_sampling_filters_are_streaming_compatible(spark, tmp_path):
         ).collect()
     }
     assert got == want and want
+
+
+def test_text_feature_columns_are_streaming_compatible(spark, tmp_path):
+    """normalize/quality/repetition/lang are pure codegen expressions —
+    they run unchanged on a readStream source and equal the batch values
+    (the prep pipeline's filter stage works on incremental ingest)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kmertools_spark.functions import (
+        lang_guess,
+        normalize_text,
+        quality_score,
+        repetition_ratio,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [f"the quick brown fox {i}\tand the dog" for i in range(50)],
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf.to_parquet(src / "b.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def features(df):
+        n = normalize_text(F.col("text"))
+        return df.select(
+            "doc_id",
+            n.alias("norm"),
+            quality_score(n).alias("q"),
+            repetition_ratio(n, 4).alias("rep"),
+            lang_guess(n).alias("lang"),
+        )
+
+    out = tmp_path / "out"
+    q = (
+        features(spark.readStream.schema(schema).parquet(str(src)))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    want = sorted(map(tuple, features(spark.createDataFrame(pdf)).collect()))
+    assert got == want and got
