@@ -424,31 +424,16 @@ def q52_training_prep(spark, sf_dir):
     into 256-token windows. One oracle verifies the whole composition:
     every stage is pure Catalyst or the distributed prefix sum, so the
     only shuffle in the plan is packing's ~24 B/doc exchange."""
-    from kmertools_spark.functions import (
-        lang_guess,
-        normalize_text,
-        quality_score,
-        repetition_ratio,
-        token_count,
-    )
-    from kmertools_spark.operators import pack_documents, stratified_sample
+    from kmertools_spark.operators import training_prep
 
-    d = _docs(spark, sf_dir)
-    norm = normalize_text(F.col("text"))
-    feats = d.select(
-        "doc_id",
-        norm.alias("norm"),
-        token_count(norm).alias("n_tok"),
-        quality_score(norm).alias("q"),
-        repetition_ratio(norm, 4).alias("rep"),
-        lang_guess(norm).alias("lang"),
-    )
-    kept = feats.where(
-        (F.col("q") >= 0.5) & (F.col("rep") >= 0.3) & (F.col("n_tok") >= 5)
-    )
-    sampled = stratified_sample(kept, "doc_id", "lang", {"en": 0.8}, 0.3)
-    return pack_documents(
-        sampled, capacity=256, tokens_col="n_tok", order="hash"
+    return training_prep(
+        _docs(spark, sf_dir),
+        capacity=256,
+        min_quality=0.5,
+        min_rep=0.3,
+        min_tokens=5,
+        rates={"en": 0.8},
+        default_rate=0.3,
     )
 
 

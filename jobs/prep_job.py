@@ -42,9 +42,15 @@ def main() -> int:
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--bin-buckets", type=int, default=64)
     args = ap.parse_args()
-    rates = dict(
-        (kv.split("=", 1)[0], float(kv.split("=", 1)[1])) for kv in args.rate
-    )
+    rates = {}
+    for kv in args.rate:
+        if "=" not in kv:
+            ap.error(f"--rate expects LANG=FRACTION, got {kv!r}")
+        lang, _, frac = kv.partition("=")
+        try:
+            rates[lang] = float(frac)
+        except ValueError:
+            ap.error(f"--rate fraction must be numeric, got {kv!r}")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -52,14 +58,7 @@ def main() -> int:
     spark = SparkSession.builder.appName("kmertools-prep").getOrCreate()
     _bootstrap.ensure_executors(spark)
 
-    from kmertools_spark.functions import (
-        lang_guess,
-        normalize_text,
-        quality_score,
-        repetition_ratio,
-        token_count,
-    )
-    from kmertools_spark.operators import pack_documents, stratified_sample
+    from kmertools_spark.operators import training_prep
 
     path = args.input
     if not path.endswith(".parquet"):
@@ -67,23 +66,14 @@ def main() -> int:
     docs = spark.read.parquet(path)
 
     t0 = time.time()
-    norm = normalize_text(F.col("text"))
-    feats = docs.select(
-        "doc_id",
-        token_count(norm).alias("n_tok"),
-        quality_score(norm).alias("q"),
-        repetition_ratio(norm, 4).alias("rep"),
-        lang_guess(norm).alias("lang"),
-    )
-    kept = feats.where(
-        (F.col("q") >= args.min_quality)
-        & (F.col("rep") >= args.min_rep)
-        & (F.col("n_tok") >= args.min_tokens)
-    )
-    if rates or args.default_rate < 1.0:
-        kept = stratified_sample(kept, "doc_id", "lang", rates, args.default_rate)
-    packed = pack_documents(
-        kept, capacity=args.capacity, tokens_col="n_tok", order="hash"
+    packed = training_prep(
+        docs,
+        capacity=args.capacity,
+        min_quality=args.min_quality,
+        min_rep=args.min_rep,
+        min_tokens=args.min_tokens,
+        rates=rates,
+        default_rate=args.default_rate,
     ).withColumn("bin_bucket", F.pmod(F.col("bin"), args.bin_buckets))
     packed.write.mode("overwrite").partitionBy("bin_bucket").parquet(args.output)
     wall = time.time() - t0

@@ -21,6 +21,7 @@ from .rolling import (
     rolling_turn_vectors,
 )
 from .packing import pack_documents
+from .prep import training_prep
 from .sampling import (
     deterministic_sample,
     sample_gate,
@@ -58,6 +59,7 @@ __all__ = [
     "simhash_buckets",
     "deterministic_sample",
     "pack_documents",
+    "training_prep",
     "sample_gate",
     "sample_slice",
     "stratified_sample",

@@ -53,6 +53,13 @@ def asof_join(
         else F.lit(0).cast("long")
     )
     payload = F.struct(*[F.col(c).alias(f"asof_{c}") for c in value_cols])
+    # NULL-key / NULL-ts feature rows are never matchable in the
+    # broadcast plan or the SQL oracle (equality joins skip NULLs, and
+    # ts < probe_ts is NULL); drop them here too so the window plan
+    # cannot pick them through NULL-grouping partitions
+    features = features.where(
+        F.col(on).isNotNull() & F.col(ts_col).isNotNull()
+    )
     ev = features.select(
         F.col(on),
         F.col(ts_col).alias("__t"),
@@ -75,7 +82,6 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     picked = F.last("__payload", ignorenulls=True).over(w).alias("__picked")
-    out = u.select(on, "__t", _EV, picked).where(F.col(_EV) == 0)
     if tolerance_ms is not None:
         from .timeutil import epoch_ms
 
@@ -102,6 +108,7 @@ def asof_join(
                 for c in value_cols
             ],
         )
+    out = u.select(on, "__t", _EV, picked).where(F.col(_EV) == 0)
     return out.select(
         on,
         F.col("__t").alias(probe_ts_col),

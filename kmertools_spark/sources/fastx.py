@@ -318,7 +318,15 @@ def _parse_fasta_records(data: bytes):
             header, body = rec[:nl], rec[nl + 1 :]
         toks = header.strip().split()
         name = toks[0].decode("utf-8", "replace") if toks else ""
-        if b" " not in body and b"\t" not in body and b"\r" not in body:
+        # bytes.strip() removes all six ASCII whitespace bytes — the
+        # fast path is valid only when none besides '\n' is present
+        if not (
+            b" " in body
+            or b"\t" in body
+            or b"\r" in body
+            or b"\x0b" in body
+            or b"\x0c" in body
+        ):
             seq = body.replace(b"\n", b"")
         else:
             seq = b"".join(ln.strip() for ln in body.split(b"\n"))

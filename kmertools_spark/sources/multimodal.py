@@ -75,17 +75,18 @@ except ImportError:
     _PILImage = None
     _HAS_PIL = False
 
-# magic prefixes of the formats Pillow decodes for us (>= 3 bytes each:
-# a 2-byte magic like BMP's 'BM' false-positives on random payloads)
-_IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a")
+# magic prefixes of the formats Pillow decodes for us; BMP's 2-byte
+# 'BM' can false-positive on random payloads, but the try/except below
+# routes those to the deterministic fallback, so real BMPs still decode
+_IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM")
 
 
 def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a payload to (h, w, 3) uint8 RGB.
 
     When Pillow is installed AND the payload starts with a real image
-    magic (PNG/JPEG/GIF), the actual codec runs and the true pixel dims
-    win over the metadata hint; a corrupt/truncated payload falls back
+    magic (PNG/JPEG/GIF/BMP), the actual codec runs and the true pixel
+    dims win over the metadata hint; a corrupt/truncated payload falls back
     instead of failing the task (one bad blob must not kill a 100 TB
     job). Otherwise — this container has no codecs — the deterministic
     fallback tiles the payload bytes to (height, width, 3) so every

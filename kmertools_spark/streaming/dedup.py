@@ -8,6 +8,12 @@ exactly once per band as soon as its second member arrives — this is
 how a 100 TB corpus that arrives incrementally gets deduplicated
 without re-banding the history every day.
 
+State-schema versioning: _BUCKET_STATE is part of the checkpoint
+contract — changing it (as the r3 max_bucket hardening did: 2 -> 3
+fields) makes existing checkpoints unrestorable; ship such changes with
+a fresh checkpoint location and a backfill of the batch operator over
+the history boundary.
+
 State per (band, bucket) is the bucket's member ids — HARD-bounded at
 ``max_bucket`` ids plus the star hub (post-cap arrivals are not
 retained: their replay dedup degrades to at-least-once, but the emitted

@@ -414,3 +414,28 @@ def test_asof_join_null_key_probes_survive(spark, impl):
     assert ("a", 0) in got
     assert (None, None) in got
     assert ("zz", None) in got
+
+
+@pytest.mark.parametrize("impl", ["window", "broadcast"])
+def test_asof_join_null_key_features_never_match(spark, impl):
+    """A feature row with NULL key or NULL ts must never be picked —
+    equality joins (broadcast plan, SQL oracle) skip NULLs, so the
+    window plan must too (code-review r3 pass 2)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    feat = spark.createDataFrame(
+        [
+            (None, 7, base.to_pydatetime()),
+            ("a", 3, None),
+            ("a", 0, (base - pd.Timedelta(minutes=5)).to_pydatetime()),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    probes = spark.createDataFrame(
+        [("a", base.to_pydatetime()), (None, base.to_pydatetime())],
+        "conv_id string, probe_ts timestamp",
+    )
+    fn = asof_join if impl == "window" else asof_join_broadcast
+    got = {r.conv_id: r.asof_turn_idx for r in fn(feat, probes, value_cols=("turn_idx",)).collect()}
+    assert got == {"a": 0, None: None}
