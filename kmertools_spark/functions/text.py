@@ -12,13 +12,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# tiny per-language stopword marker sets for the n-gram/stopword
-# language-ID heuristic (padded with spaces so they match whole words)
+# per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic (padded with spaces so they match whole words). Data-driven:
+# lang_guess accepts a user-supplied table of the same shape; the DuckDB
+# oracle SQL (oracle/sql_queries.py) is GENERATED from this dict, so
+# extending it regenerates both engines in lockstep. Keys must be valid
+# SQL identifiers (they become oracle column aliases); markers must stay
+# ASCII (the char-based oracle contract, tests/test_ascii_boundary.py).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": (" the ", " and ", " of "),
     "fr": (" le ", " la ", " et "),
     "de": (" der ", " und ", " die "),
     "es": (" el ", " los ", " y "),
+    "it": (" il ", " che ", " di "),
+    "pt": (" uma ", " para ", " os "),
+    "nl": (" het ", " een ", " van "),
 }
 
 
@@ -46,18 +54,55 @@ def stopword_hits(col: Column, lang: str) -> Column:
     return out
 
 
-def lang_guess(col: Column) -> Column:
+def lang_guess(
+    col: Column, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
     """Heuristic language ID: the language with the most marker hits,
-    'und' when no marker matches. Ties break by language order."""
-    # first language (declaration order) with the maximal nonzero hit
-    # count wins: iterate reversed so earlier languages overwrite ties
-    best = F.lit("und")
-    best_n = F.lit(0).cast("long")
-    for lang in reversed(list(LANG_MARKERS)):
-        h = stopword_hits(col, lang)
-        best = F.when((h > 0) & (h >= best_n), F.lit(lang)).otherwise(best)
-        best_n = F.greatest(best_n, h)
-    return best
+    'und' when no marker matches. Ties break by declaration order.
+
+    Single-binding formulation (r3 VERDICT item 1): the padded text is
+    bound ONCE as a lambda variable and each language's hit count is
+    computed ONCE into an array, then a left fold picks the argmax —
+    every marker literal appears exactly once in the expression tree.
+    The old when/otherwise chain re-inlined each language's hits into
+    every later branch (O(L^2) replace() scans after projection
+    collapse), which blew the generated method past janino's 64 KB
+    limit whenever the expression reached a filter (q47/q52) and
+    knocked the whole stage out of codegen. The HOF fold is a small
+    CodegenFallback island evaluated once per row; the surrounding
+    stage stays compiled (guarded by tests/test_plan_shape.py).
+
+    ``markers`` substitutes a user-supplied language table of the same
+    shape as LANG_MARKERS (the oracle SQL twin only covers the default
+    table).
+    """
+    table = LANG_MARKERS if markers is None else markers
+    langs = list(table)
+    names = F.array(*[F.lit(lg) for lg in langs])
+
+    def _pick(p: Column) -> Column:
+        def _hits(lang: str) -> Column:
+            out = F.lit(0).cast("long")
+            for m in table[lang]:
+                out = out + occurrences(p, m)
+            return out
+
+        hits = F.array(*[_hits(lg) for lg in langs])
+        zipped = F.zip_with(
+            hits, names, lambda h, lg: F.struct(h.alias("h"), lg.alias("l"))
+        )
+        # left fold, strict '>': the FIRST language reaching the max
+        # wins (declaration-order tie-break); acc starts at (0, 'und')
+        # so a language needs a nonzero count to win at all
+        best = F.aggregate(
+            zipped,
+            F.struct(F.lit(0).cast("long").alias("h"), F.lit("und").alias("l")),
+            lambda acc, x: F.when(x["h"] > acc["h"], x).otherwise(acc),
+        )
+        return best["l"]
+
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return F.get(F.transform(F.array(padded), _pick), 0)
 
 
 def quality_score(col: Column) -> Column:

@@ -182,21 +182,21 @@ def dedup_clusters(
         mid-run recomputes full lineage) to RELIABLE checkpointing into
         the given fault-tolerant dir (HDFS/S3 on a real cluster).
         Default None keeps localCheckpoint for single-JVM runs.
-      * the convergence probe no longer joins back to the previous
-        labels as a separate lineage: the changed flag is computed
-        INSIDE the round's plan (old label carried through), so each
-        round is one materializing job (the eager checkpoint) plus a
-        limit(1) early-exit scan of the just-checkpointed blocks.
-      * ``_stats`` (tests) receives {'rounds': n}.
+      * the convergence count is folded INTO the materializing action
+        (r3 VERDICT item 5): the round's plan carries a __chg flag and
+        the ONE count() both materializes the lazy (local)checkpoint
+        blocks and returns the changed-row count — no separate probe
+        job scanning the blocks afterwards. In reliable mode the plan
+        is additionally persisted first so the post-job checkpoint
+        write reads the cache instead of recomputing the round's joins
+        (the persist is dropped as soon as the files exist).
+      * ``_stats`` (tests) receives {'rounds': n, 'probe_plan': the
+        count query's executed plan — a Scan of the just-checkpointed
+        blocks, never a join}.
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
 
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -227,20 +227,31 @@ def dedup_clusters(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
         new_label = F.least(F.col("label"), F.coalesce("jlabel", "label"))
-        updated = _ckpt(
-            stepped.join(jump, stepped["label"] == jump["jnode"], "left").select(
-                "node",
-                new_label.alias("label"),
-                (new_label != F.col("__old")).alias("__chg"),
-            )
+        plan = stepped.join(jump, stepped["label"] == jump["jnode"], "left").select(
+            "node",
+            new_label.alias("label"),
+            (new_label != F.col("__old")).alias("__chg"),
         )
-        # early-exit scan of the checkpointed blocks — no recompute
-        probe = updated.where(F.col("__chg")).limit(1)
+        if checkpoint_dir is not None:
+            # reliable checkpoint recomputes its lineage to write the
+            # files unless the RDD is persisted — cache it for exactly
+            # the write, then drop
+            cached = plan.persist()
+            updated = cached.checkpoint(eager=False)
+        else:
+            cached = None
+            updated = plan.localCheckpoint(eager=False)
+        # ONE materializing action per round: counting the changed rows
+        # computes every partition of the lazily-checkpoint-marked RDD
+        # (storing the blocks) and returns convergence in the same job
+        probe = updated.where(F.col("__chg"))
         if _stats is not None:
             _stats["probe_plan"] = (
                 probe._jdf.queryExecution().executedPlan().toString()
             )
         changed = probe.count()
+        if cached is not None:
+            cached.unpersist()
         labels = updated.select("node", "label")
         if changed == 0:
             break
@@ -308,12 +319,20 @@ def dedup_keep(
     """
     sigs = minhash_signatures(docs, id_col, text_col)
     cand = lsh_candidate_pairs(sigs, id_col, bands, max_bucket=max_bucket)
-    verified = jaccard_for_pairs(
+    verified, grams = _jaccard_for_pairs_cached(
         cand, docs, id_col, text_col, n=n, threshold=threshold
-    ).select("id_a", "id_b")
-    clusters = dedup_clusters(
-        verified, docs.select(id_col), id_col, checkpoint_dir=checkpoint_dir
     )
+    clusters = dedup_clusters(
+        verified.select("id_a", "id_b"),
+        docs.select(id_col),
+        id_col,
+        checkpoint_dir=checkpoint_dir,
+    )
+    # dedup_clusters eagerly checkpoints its labels, so the verified
+    # pairs (and therefore the gram cache) are fully consumed by the
+    # time it returns — release the executors' memory now instead of
+    # leaking the cache for the session (driver ADVICE r3)
+    grams.unpersist()
     return clusters.select(
         id_col,
         "cluster_id",
@@ -383,8 +402,27 @@ def jaccard_for_pairs(
     The gram relation is cached: it feeds three plan subtrees (sizes,
     side-a, side-b) and would otherwise re-run the n-gram explosion
     over the full corpus three times (r2 ADVICE item 4; matches
-    jaccard_pairs).
+    jaccard_pairs). Callers that can bound the result's lifetime should
+    use ``_jaccard_for_pairs_cached`` and unpersist the returned gram
+    handle once the result is consumed (dedup_keep does).
     """
+    out, _ = _jaccard_for_pairs_cached(
+        pairs, docs, id_col, text_col, n=n, threshold=threshold
+    )
+    return out
+
+
+def _jaccard_for_pairs_cached(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """jaccard_for_pairs + the cached gram relation, so the caller can
+    ``grams.unpersist()`` as soon as the result has been materialized
+    (cache ownership — driver ADVICE r3)."""
     grams = char_ngrams(docs, id_col, text_col, n).cache()
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ga = grams.select(F.col(id_col).alias("id_a"), "gram")
@@ -396,4 +434,4 @@ def jaccard_for_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+    return _jaccard_from_inter(inter, sizes, id_col, threshold), grams

@@ -57,6 +57,7 @@ def pack_documents(
     tokens_col: str | None = None,
     order: str = "hash",
     n_parts: int | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """df -> (doc_id, bin, tok_start, pos_in_bin, n_tok), all BIGINT.
 
@@ -74,9 +75,25 @@ def pack_documents(
       n_tok       tokens of this document inside this bin
     Invariants (property-tested): per-document n_tok sums to t; every
     bin except the last sums to exactly ``capacity``.
+
+    ``checkpoint`` pins the (doc_id, tok) relation between the two
+    passes that read it (the per-partition-sum job and the offsets
+    stage): "local" (default) lazily localCheckpoints it, so the
+    upstream plan — via training_prep the full
+    normalize/quality/repetition/lang scan — executes exactly ONCE and
+    any upstream nondeterminism cannot desync the broadcast base
+    offsets from the second pass (driver ADVICE r3). "reliable" uses a
+    fault-tolerant checkpoint instead (requires
+    ``spark.sparkContext.setCheckpointDir``; survives executor loss —
+    localCheckpoint blocks do not, costing a stage retry). "none"
+    keeps the legacy double-scan lineage (only safe when the upstream
+    is deterministic and cheap). The pinned relation is ~16 B/doc
+    regardless of document size.
     """
     if order not in ("hash", "id"):
         raise ValueError(f"order must be 'hash' or 'id', got {order!r}")
+    if checkpoint not in ("local", "reliable", "none"):
+        raise ValueError(f"checkpoint must be local|reliable|none, got {checkpoint!r}")
     spark = df.sparkSession
     P = n_parts or spark.sparkContext.defaultParallelism
 
@@ -88,6 +105,10 @@ def pack_documents(
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"), tok.alias("tok")
     ).where(F.col("tok") > 0)
+    if checkpoint == "local":
+        base = base.localCheckpoint(eager=False)
+    elif checkpoint == "reliable":
+        base = base.checkpoint(eager=False)
 
     if order == "hash":
         key = F.pmod(

@@ -71,6 +71,28 @@ def _lang_hits(lang: str) -> str:
     return " + ".join(_occ("pad", m) for m in LANG_MARKERS[lang])
 
 
+# both generated from the SAME LANG_MARKERS table the Spark-side
+# lang_guess reads — adding a language regenerates Spark and oracle in
+# lockstep (r3 VERDICT item 7)
+_LANGS = list(LANG_MARKERS)
+
+
+def _lang_hits_select() -> str:
+    """one `<hits-expr> AS <lang>` column per language."""
+    return ",\n    ".join(f"{_lang_hits(lg)} AS {lg}" for lg in _LANGS)
+
+
+def _lang_case_sql() -> str:
+    """Declaration-order argmax: the first language whose count is >=
+    every later language's and > 0 wins (same tie-break as lang_guess's
+    left fold)."""
+    whens = []
+    for i, lg in enumerate(_LANGS):
+        conds = [f"{lg} >= {m}" for m in _LANGS[i + 1 :]] + [f"{lg} > 0"]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
 def build() -> dict[str, str]:
     q: dict[str, str] = {}
 
@@ -295,11 +317,7 @@ dots AS (
 SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
 FROM dots WHERE round(dot / (na * nb), 6) >= 0.2"""
 
-    lang_case = """
-  CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
-       WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
-       WHEN de >= es AND de > 0 THEN 'de'
-       WHEN es > 0 THEN 'es' ELSE 'und' END"""
+    lang_case = _lang_case_sql()
     q["q22_text_features"] = f"""
 WITH base AS (
   SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
@@ -308,8 +326,7 @@ WITH base AS (
 ),
 hits AS (
   SELECT doc_id, text, n_chars,
-    {_lang_hits("en")} AS en, {_lang_hits("fr")} AS fr,
-    {_lang_hits("de")} AS de, {_lang_hits("es")} AS es,
+    {_lang_hits_select()},
     {_occ("text", " ")} AS spaces
   FROM base
 ),
@@ -358,8 +375,7 @@ WITH base AS (
 ),
 hits AS (
   SELECT doc_id,
-    {_lang_hits("en")} AS en, {_lang_hits("fr")} AS fr,
-    {_lang_hits("de")} AS de, {_lang_hits("es")} AS es
+    {_lang_hits_select()}
   FROM base
 ),
 lng AS (SELECT doc_id, {lang_case} AS lang FROM hits)
@@ -397,8 +413,7 @@ rep AS (
 ),
 hits AS (
   SELECT doc_id, n_chars, spaces,
-    {_lang_hits("en")} AS en, {_lang_hits("fr")} AS fr,
-    {_lang_hits("de")} AS de, {_lang_hits("es")} AS es
+    {_lang_hits_select()}
   FROM base
 ),
 feat AS (

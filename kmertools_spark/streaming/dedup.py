@@ -77,7 +77,7 @@ def streaming_lsh_candidates(
     width: int = 8,
     watermark: str = "1 hour",
     state_horizon_ms: int = 3_600_000,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """stream(doc_id, text, ts) -> append stream of (id_a, id_b) pairs.
 
@@ -85,6 +85,12 @@ def streaming_lsh_candidates(
     bands of ``rows_per_band`` values; the band key is the identical
     string fold, so a batch replay over the same rows produces the same
     buckets bit-for-bit.
+
+    ``max_bucket`` defaults to a FINITE cap (256, matching the batch
+    job) because this is the unattended path: with no cap, one flooded
+    boilerplate bucket grows state and pair emission O(n^2) until the
+    state store OOMs (driver ADVICE r3). Passing ``None`` explicitly
+    opts into exact all-pairs semantics for bounded corpora.
     """
     r = rows_per_band or N_PERMS // bands
 

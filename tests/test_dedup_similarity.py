@@ -256,7 +256,9 @@ def test_dedup_clusters_stress_path_and_star(spark):
     """Cluster-reality stress (r2 VERDICT item 3): a 200-deep path graph
     (worst case for label propagation) plus a 10k-star component must
     converge in O(log diameter) rounds with a bounded job count per
-    round (one materializing checkpoint + one limit-1 probe)."""
+    round (ONE materializing action per round — the convergence count
+    is folded into the checkpoint materialization, r3 VERDICT item 5;
+    the remaining multiplicity is AQE's one-job-per-query-stage)."""
     from kmertools_spark.operators import dedup_clusters
 
     path_edges = [(i, i + 1) for i in range(199)]
@@ -280,9 +282,11 @@ def test_dedup_clusters_stress_path_and_star(spark):
     # (Scan ExistingRDD), never re-derive the round through its joins
     assert "ExistingRDD" in stats["probe_plan"], stats["probe_plan"]
     assert "Join" not in stats["probe_plan"], stats["probe_plan"]
-    # AQE emits one job per query stage, so the per-round job count is
-    # a loose bound — this guards against O(rounds^2) lineage recompute
-    assert len(jobs) <= 16 * stats["rounds"] + 8, (len(jobs), stats["rounds"])
+    # AQE emits one job per query stage (~11/round for this round's
+    # joins; measured 94 jobs / 8 rounds after the probe fold) — this
+    # guards against both O(rounds^2) lineage recompute and the old
+    # extra per-round probe job
+    assert len(jobs) <= 12 * stats["rounds"] + 8, (len(jobs), stats["rounds"])
 
 
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):

@@ -202,6 +202,34 @@ def test_stratified_sample_pushes_filter_no_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_prep_filter_compiles_under_codegen(spark):
+    """r3 VERDICT item 1: the q47/q52 filter stage must COMPILE under
+    whole-stage codegen — the old lang_guess when/otherwise chain plus
+    stratified_sample's CASE thresholds re-inlined every language's
+    stopword scans O(L^2) times, blew janino's 64 KB method limit, and
+    silently knocked the hottest prep filter back to interpreted
+    evaluation. Two guards: (1) execute with codegen fallback DISABLED,
+    so a janino failure raises instead of degrading; (2) the expression
+    tree must hold each marker literal O(1) times — bounded replace()
+    count in the optimized plan."""
+    import __spark_entry__ as e
+    from kmertools_spark.functions.text import LANG_MARKERS
+
+    n_markers = sum(len(m) for m in LANG_MARKERS.values())
+    q47 = e.q47_stratified_sample(spark, "/root/testdata/sf0.001")
+    opt = _opt(q47)
+    # lang is referenced at most twice (projected column + filter
+    # threshold); each reference holds every marker exactly once
+    assert opt.count("replace(") <= 3 * n_markers, opt.count("replace(")
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert q47.count() > 0
+        assert e.q52_training_prep(spark, "/root/testdata/sf0.001").count() > 0
+    finally:
+        spark.conf.unset("spark.sql.codegen.fallback")
+
+
 def test_training_prep_composition_single_exchange(spark):
     """q52 (normalize -> filters -> stratified sample -> pack) composes
     to ONE Exchange (packing's ~24 B/doc shuffle), no Window, no
