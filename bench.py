@@ -11,6 +11,9 @@ local[$SPARK_GRAFT_CPUS]):
   cgr        CGR trajectories (bit-exact FP recurrence) over all turns
   dedup      minhash signatures -> LSH candidate pairs (documents)
   ann        brute-force cosine top-k (embeddings)
+  pack       deterministic shuffle + 256-token sequence packing
+  prep       full training-prep pipeline (normalize -> quality/rep/
+             token filters -> per-language sampling -> packing)
 
 All queries force full computation via the noop sink / count; nothing
 is collected to the driver. Each leg is timed best-of-N
@@ -33,8 +36,26 @@ def log(*a):
 
 
 def force(df) -> int:
-    """Force full evaluation; returns row count."""
+    """Force evaluation via count — valid ONLY for plans whose every
+    operator is cardinality-determining (mapInPandas kernels, joins,
+    explodes, aggregations). A projection-only tail (scalar UDF column,
+    Window function) gets PRUNED by count(): Catalyst drops the unused
+    column and the Window's Sort with it, so the leg times a no-op
+    (measured 0.32s vs 16.9s true cost on a 16M-row as-of). Use
+    force_cols for those plans."""
     return df.count()
+
+
+def force_cols(df) -> int:
+    """Force every output column: hash-reduce all columns to one row.
+    xxhash64 + bit_xor are cheap JVM-side and overflow-free, so the
+    timing stays dominated by the plan under test."""
+    from pyspark.sql import functions as F
+
+    df.select(F.xxhash64(*df.columns).alias("__h")).agg(
+        F.expr("bit_xor(__h)")
+    ).collect()
+    return 1
 
 
 def main() -> None:
@@ -111,9 +132,11 @@ def main() -> None:
     timed("backfill", lambda: force(backfill_features_stream(t, k=4, n_turns=3)))
 
     p = probes_df(spark, sf_dir).distinct()
+    # force_cols, not count: the as-of result is a Window projection —
+    # count() prunes the window AND its sort, timing nothing (r4 find)
     timed(
         "asof",
-        lambda: force(
+        lambda: force_cols(
             asof_join(
                 t.withColumn("text_len", F.length("text")),
                 p,
@@ -124,7 +147,9 @@ def main() -> None:
 
     def counts_cov_leg():
         counts = global_kmer_counts(t, k=4)
-        force(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
+        # broadcast-path coverage is a scalar-UDF projection: force the
+        # histogram column itself (count() would prune the UDF)
+        force_cols(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
 
     timed("counts_cov", counts_cov_leg)
 
@@ -162,6 +187,24 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann", lambda: force(cosine_topk(emb, emb.where("vec_id < 8"), k=5)))
+
+    # the training-prep pipeline legs (r3 VERDICT item 4): packing's
+    # distributed prefix sum alone, then the full normalize -> filter ->
+    # stratified-sample -> pack composition (q46/q52 shapes)
+    from kmertools_spark.operators import pack_documents, training_prep
+
+    timed("pack", lambda: force(pack_documents(docs, capacity=256)))
+    timed(
+        "prep",
+        lambda: force(
+            training_prep(
+                docs,
+                capacity=256,
+                rates={"en": 0.8},
+                default_rate=0.3,
+            )
+        ),
+    )
 
     total = time.time() - t_all
     spark.stop()

@@ -1,6 +1,11 @@
 """DataFrame -> DataFrame operators (SURVEY §2.4-§2.7 + engine additions)."""
 
-from .asof import asof_join, asof_join_broadcast
+from .asof import (
+    asof_join,
+    asof_join_auto,
+    asof_join_broadcast,
+    asof_join_bucketed,
+)
 from .binning import minimiser_index, record_minimisers
 from .counts import coverage_features, global_kmer_counts
 from .dedup import (
@@ -43,7 +48,9 @@ from .skew import salted_collect_list, salted_sum, with_salt
 
 __all__ = [
     "asof_join",
+    "asof_join_auto",
     "asof_join_broadcast",
+    "asof_join_bucketed",
     "minimiser_index",
     "record_minimisers",
     "coverage_features",

@@ -16,10 +16,92 @@ and features; AQE handles mild skew. For tiny probe sets prefer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _EV = "__is_event"
+
+
+def _union_marker(
+    features: DataFrame,
+    probes: DataFrame,
+    on: str,
+    ts_col: str,
+    probe_ts_col: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """Shared probe/feature union for the window and bucketed plans:
+    one struct payload per feature row (atomic pick), probes carry a
+    NULL payload and sort before same-ts events (strict '<')."""
+    ord_col = (
+        F.col("turn_idx").cast("long")
+        if "turn_idx" in features.columns
+        else F.lit(0).cast("long")
+    )
+    payload = F.struct(*[F.col(c).alias(f"asof_{c}") for c in value_cols])
+    features = features.where(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
+    ev = features.select(
+        F.col(on),
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias(_EV),
+        ord_col.alias("__ord"),
+        payload.alias("__payload"),
+    )
+    pr = probes.select(
+        F.col(on),
+        F.col(probe_ts_col).alias("__t"),
+        F.lit(0).alias(_EV),
+        F.lit(-1).cast("long").alias("__ord"),
+        F.lit(None).cast(ev.schema["__payload"].dataType).alias("__payload"),
+    )
+    return ev.unionByName(pr)
+
+
+def _probe_output(
+    u: DataFrame,
+    w: Window,
+    on: str,
+    probe_ts_col: str,
+    value_cols: tuple[str, ...],
+    tolerance_ms: int | None,
+    tms: Column | None = None,
+) -> DataFrame:
+    """Shared pick + projection: last non-null payload strictly before
+    the probe (the window already excludes the current row), optional
+    staleness nulling via the picked row's own event time."""
+    picked = F.last("__payload", ignorenulls=True).over(w).alias("__picked")
+    if tolerance_ms is not None:
+        from .timeutil import epoch_ms
+
+        if tms is None:
+            tms = epoch_ms("__t")
+        picked_tms = F.last(
+            F.when(F.col(_EV) == 1, tms), ignorenulls=True
+        ).over(w)
+        out = (
+            u.select(on, "__t", _EV, picked, picked_tms.alias("__picked_tms"))
+            .where(F.col(_EV) == 0)
+            .withColumn(
+                "__fresh",
+                F.col("__picked_tms") >= epoch_ms("__t") - F.lit(tolerance_ms),
+            )
+        )
+        return out.select(
+            on,
+            F.col("__t").alias(probe_ts_col),
+            *[
+                F.when(F.col("__fresh"), F.col(f"__picked.asof_{c}")).alias(
+                    f"asof_{c}"
+                )
+                for c in value_cols
+            ],
+        )
+    out = u.select(on, "__t", _EV, picked).where(F.col(_EV) == 0)
+    return out.select(
+        on,
+        F.col("__t").alias(probe_ts_col),
+        *[F.col(f"__picked.asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
 
 
 def asof_join(
@@ -46,74 +128,168 @@ def asof_join(
     # the whole candidate row travels as ONE struct so the probe picks a
     # consistent latest row (no torn columns when a value is null), and
     # ties at equal ts break deterministically by turn_idx (largest wins
-    # — matching ORDER BY ts DESC, turn_idx DESC semantics)
-    ord_col = (
-        F.col("turn_idx").cast("long")
-        if "turn_idx" in features.columns
-        else F.lit(0).cast("long")
-    )
-    payload = F.struct(*[F.col(c).alias(f"asof_{c}") for c in value_cols])
-    # NULL-key / NULL-ts feature rows are never matchable in the
-    # broadcast plan or the SQL oracle (equality joins skip NULLs, and
-    # ts < probe_ts is NULL); drop them here too so the window plan
-    # cannot pick them through NULL-grouping partitions
-    features = features.where(
-        F.col(on).isNotNull() & F.col(ts_col).isNotNull()
-    )
-    ev = features.select(
-        F.col(on),
-        F.col(ts_col).alias("__t"),
-        F.lit(1).alias(_EV),
-        ord_col.alias("__ord"),
-        payload.alias("__payload"),
-    )
-    pr = probes.select(
-        F.col(on),
-        F.col(probe_ts_col).alias("__t"),
-        F.lit(0).alias(_EV),
-        F.lit(-1).cast("long").alias("__ord"),
-        F.lit(None).cast(ev.schema["__payload"].dataType).alias("__payload"),
-    )
-    u = ev.unionByName(pr)
+    # — matching ORDER BY ts DESC, turn_idx DESC semantics). NULL-key /
+    # NULL-ts feature rows are dropped inside _union_marker so the
+    # window plan cannot pick them through NULL-grouping partitions.
+    u = _union_marker(features, probes, on, ts_col, probe_ts_col, value_cols)
     # probes (0) sort before events (1) at equal ts -> strict '<'
     w = (
         Window.partitionBy(on)
         .orderBy("__t", _EV, "__ord")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    picked = F.last("__payload", ignorenulls=True).over(w).alias("__picked")
-    if tolerance_ms is not None:
-        from .timeutil import epoch_ms
+    return _probe_output(u, w, on, probe_ts_col, value_cols, tolerance_ms)
 
-        # the picked struct's own event time rides in the payload via a
-        # second last() over the SAME window/order (same row picked)
-        tms = F.last(
-            F.when(F.col(_EV) == 1, epoch_ms("__t")), ignorenulls=True
-        ).over(w)
-        out = (
-            u.select(on, "__t", _EV, picked, tms.alias("__picked_tms"))
-            .where(F.col(_EV) == 0)
-            .withColumn(
-                "__fresh",
-                F.col("__picked_tms") >= epoch_ms("__t") - F.lit(tolerance_ms),
-            )
-        )
-        return out.select(
-            on,
-            F.col("__t").alias(probe_ts_col),
-            *[
-                F.when(F.col("__fresh"), F.col(f"__picked.asof_{c}")).alias(
-                    f"asof_{c}"
-                )
-                for c in value_cols
-            ],
-        )
-    out = u.select(on, "__t", _EV, picked).where(F.col(_EV) == 0)
-    return out.select(
-        on,
-        F.col("__t").alias(probe_ts_col),
-        *[F.col(f"__picked.asof_{c}").alias(f"asof_{c}") for c in value_cols],
+
+def asof_join_bucketed(
+    features: DataFrame,
+    probes: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    probe_ts_col: str = "probe_ts",
+    value_cols: tuple[str, ...] = ("turn_idx",),
+    tolerance_ms: int | None = None,
+    n_buckets: int = 256,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Hot-entity as-of plan: parallelize WITHIN an entity (r3 VERDICT
+    item 3). asof_join's window partitions by entity only, so a
+    10^6-event entity serializes onto a single task's sort — the same
+    straggler shape backfill_features_auto routes around.
+
+    Plan (the distributed-prefix shape of operators/rolling and
+    packing):
+      1. one tiny agg per entity: (min, max) event/probe time;
+      2. every row gets a time bucket computed ANALYTICALLY from its
+         timestamp — floor((tms - lo) * B / span) — monotone in ts, so
+         bucket boundaries never split an instant and no sampled range
+         partitioner is involved;
+      3. per-(entity, bucket) agg picks the bucket's LAST event (max
+         (tms, ord) struct — the same tie order as the window plan);
+      4. a per-entity window over the <=B per-bucket aggregates (tiny:
+         B rows per entity) turns them into an exclusive prefix —
+         bucket k's carry-in is the latest event of buckets < k,
+         keeping its ORIGINAL event time (so staleness still measures
+         against real event age);
+      5. the carry-in is unioned into its bucket as a pseudo-event that
+         sorts first (its ms is strictly below the bucket's — equal ms
+         implies equal bucket), and the usual union-marker window runs
+         partitioned by (entity, bucket): O(n/B log n/B) per task.
+
+    Equality with asof_join is property-tested (ties, tolerance, NULL
+    probes). ``broadcast_stats``: the per-entity (lo, hi, span) row is
+    broadcast-joined (the intended use routes a HANDFUL of hot entities
+    here); pass False to let AQE decide when calling it standalone over
+    many entities.
+    """
+    from .timeutil import epoch_ms
+
+    u = _union_marker(features, probes, on, ts_col, probe_ts_col, value_cols)
+    u = u.withColumn("__tms", epoch_ms("__t"))
+    B = int(n_buckets)
+    stats = u.groupBy(on).agg(
+        F.min("__tms").alias("__lo"), F.max("__tms").alias("__hi")
     )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    u2 = u.join(stats, on, "left").withColumn(
+        "__b",
+        F.expr(f"(__tms - __lo) * {B} div (__hi - __lo + 1)"),
+    )
+    last_ev = F.max(
+        F.when(
+            F.col(_EV) == 1, F.struct("__tms", "__ord", "__payload")
+        )
+    ).alias("__lastev")
+    bstats = u2.groupBy(on, "__b").agg(last_ev)
+    wcarry = (
+        Window.partitionBy(on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        bstats.select(
+            on,
+            "__b",
+            F.last("__lastev", ignorenulls=True).over(wcarry).alias("__c"),
+        )
+        .where(F.col("__c").isNotNull())
+        .select(
+            F.col(on),
+            F.col("__b"),
+            F.lit(None).cast(u.schema["__t"].dataType).alias("__t"),
+            F.col("__c.__tms").alias("__tms"),
+            F.lit(1).alias(_EV),
+            F.col("__c.__ord").alias("__ord"),
+            F.col("__c.__payload").alias("__payload"),
+        )
+    )
+    u3 = u2.select(
+        on, "__b", "__t", "__tms", _EV, "__ord", "__payload"
+    ).unionByName(carry)
+    # __t after __tms keeps sub-ms event order identical to the window
+    # plan (epoch ms truncates microseconds); the carry pseudo-event
+    # can never tie a real row on __tms (equal ms => same bucket), so
+    # its NULL __t never reaches the comparison
+    w = (
+        Window.partitionBy(on, "__b")
+        .orderBy("__tms", "__t", _EV, "__ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return _probe_output(
+        u3, w, on, probe_ts_col, value_cols, tolerance_ms, tms=F.col("__tms")
+    )
+
+
+def asof_join_auto(
+    features: DataFrame,
+    probes: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    probe_ts_col: str = "probe_ts",
+    value_cols: tuple[str, ...] = ("turn_idx",),
+    tolerance_ms: int | None = None,
+    hot_threshold: int = 65536,
+    n_buckets: int = 256,
+    hot_ids: list | None = None,
+) -> DataFrame:
+    """Skew-routing as-of join, mirroring backfill_features_auto: cold
+    entities (<= hot_threshold feature rows) take the one-window
+    asof_join; hot entities take the bucketed within-entity plan, so no
+    single task ever sorts a whale conversation. ``hot_ids`` skips the
+    sizing aggregation when the caller already knows the hot keys; the
+    sizing pass is a map-side-combined count and the collected list is
+    tiny by construction (entities LARGER than the threshold).
+    BENCH/BASELINE.md holds the measured crossover (bench_skew.py)."""
+    if hot_ids is None:
+        hot_ids = [
+            r[0]
+            for r in features.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > hot_threshold)
+            .select(on)
+            .collect()
+        ]
+    args = dict(
+        on=on,
+        ts_col=ts_col,
+        probe_ts_col=probe_ts_col,
+        value_cols=value_cols,
+        tolerance_ms=tolerance_ms,
+    )
+    if not hot_ids:
+        return asof_join(features, probes, **args)
+    # coalesce: isin() is NULL for a NULL key and where() drops NULL
+    # predicates on both branches — NULL-key rows must route cold
+    is_hot = F.coalesce(F.col(on).isin(list(hot_ids)), F.lit(False))
+    cold = asof_join(features.where(~is_hot), probes.where(~is_hot), **args)
+    hot = asof_join_bucketed(
+        features.where(is_hot),
+        probes.where(is_hot),
+        n_buckets=n_buckets,
+        **args,
+    )
+    return cold.unionByName(hot)
 
 
 def asof_join_broadcast(

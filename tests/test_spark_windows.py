@@ -8,16 +8,39 @@ from pyspark.sql import functions as F
 
 from kmertools_spark.operators import (
     asof_join,
+    asof_join_auto,
     asof_join_broadcast,
+    asof_join_bucketed,
     lag_lead_features,
     rolling_turn_vectors,
     sessionize,
 )
-from kmertools_spark.oracle import composition_matrix
-from kmertools_spark.sources import synth_transcripts_pdf
 
 GAP = 1800.0
 
+
+def _asof_bucketed_small(*a, **kw):
+    """bucketed plan with few buckets so tiny test data spans several"""
+    kw.setdefault("n_buckets", 5)
+    return asof_join_bucketed(*a, **kw)
+
+
+def _asof_auto_small(*a, **kw):
+    """auto router with a threshold low enough that test data routes
+    SOME entities hot (exercising both branches + the union)"""
+    kw.setdefault("hot_threshold", 3)
+    kw.setdefault("n_buckets", 5)
+    return asof_join_auto(*a, **kw)
+
+
+ASOF_IMPLS = {
+    "window": asof_join,
+    "broadcast": asof_join_broadcast,
+    "bucketed": _asof_bucketed_small,
+    "auto": _asof_auto_small,
+}
+from kmertools_spark.oracle import composition_matrix
+from kmertools_spark.sources import synth_transcripts_pdf
 
 @pytest.fixture(scope="module")
 def tdf(spark):
@@ -96,12 +119,12 @@ def oracle_asof(pdf, probes):
     return exp
 
 
-@pytest.mark.parametrize("impl", ["window", "broadcast"])
+@pytest.mark.parametrize("impl", ["window", "broadcast", "bucketed", "auto"])
 def test_asof_join_strict_leakage_semantics(spark, tdf, impl):
     df, pdf = tdf
     probes = _probe_frame(pdf)
     pdf_probes = spark.createDataFrame(probes)
-    fn = asof_join if impl == "window" else asof_join_broadcast
+    fn = ASOF_IMPLS[impl]
     got = fn(df, pdf_probes, value_cols=("turn_idx",)).toPandas()
     exp = oracle_asof(pdf, probes)
     assert len(got) == len(probes)
@@ -133,7 +156,7 @@ def test_asof_equal_ts_tiebreak_and_no_torn_rows(spark):
     probes = spark.createDataFrame(
         pd.DataFrame({"conv_id": ["c1"], "probe_ts": [ts + pd.Timedelta(hours=1)]})
     )
-    for impl in (asof_join, asof_join_broadcast):
+    for impl in (asof_join, asof_join_broadcast, _asof_bucketed_small, _asof_auto_small):
         row = impl(feats, probes, value_cols=("turn_idx", "text", "tool")).first()
         assert row.asof_turn_idx == 5, impl.__name__
         assert row.asof_text == "CCCC", impl.__name__
@@ -148,12 +171,61 @@ def test_asof_duplicate_probe_multiplicity(spark, tdf):
     probes = _probe_frame(pdf)
     tripled = pd.concat([probes, probes.head(4), probes.head(4)])
     sp = spark.createDataFrame(tripled)
-    for impl in (asof_join, asof_join_broadcast):
+    for impl in (asof_join, asof_join_broadcast, _asof_bucketed_small, _asof_auto_small):
         got = impl(df, sp, value_cols=("turn_idx",)).toPandas()
         assert len(got) == len(tripled), impl.__name__
         counts = got.groupby(["conv_id", "probe_ts"]).size()
         want = tripled.groupby(["conv_id", "probe_ts"]).size()
         assert counts.sort_index().equals(want.sort_index()), impl.__name__
+
+
+def test_asof_auto_skew_routing_equality(spark):
+    """r3 VERDICT item 3: a whale entity must route through the
+    bucketed within-entity plan and produce EXACTLY the window plan's
+    rows; the router must actually split hot from cold (both branches
+    exercised), and the bucketed window must partition by (entity,
+    bucket) — never by entity alone."""
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("whale", i, base + pd.Timedelta(seconds=int(s)))
+        for i, s in enumerate(rng.randint(0, 5_000_000, 5000))
+    ]
+    for c in range(20):
+        for i in range(int(rng.randint(1, 8))):
+            rows.append(
+                (f"c{c}", i, base + pd.Timedelta(seconds=int(rng.randint(0, 5_000_000))))
+            )
+    feat = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    probes = feat.sample(200, random_state=5)[["conv_id", "ts"]].rename(
+        columns={"ts": "probe_ts"}
+    )
+    fdf = spark.createDataFrame(feat)
+    pr = spark.createDataFrame(probes)
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["conv_id", "probe_ts", "asof_turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    want = norm(asof_join(fdf, pr))
+    got = norm(asof_join_auto(fdf, pr, hot_threshold=1000, n_buckets=16))
+    pd.testing.assert_frame_equal(want, got)
+    # tolerance flows through the carry (original event time preserved)
+    want_t = norm(asof_join(fdf, pr, tolerance_ms=600_000))
+    got_t = norm(asof_join_auto(fdf, pr, tolerance_ms=600_000, hot_threshold=1000))
+    pd.testing.assert_frame_equal(want_t, got_t)
+    # the hot branch really is bucketed: its window partitions by
+    # (entity, bucket)
+    hot_plan = (
+        asof_join_bucketed(fdf.where("conv_id = 'whale'"), pr.where("conv_id = 'whale'"), n_buckets=16)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__b" in hot_plan
 
 
 def test_asof_zero_leakage_property(spark, tdf):
@@ -345,7 +417,7 @@ def test_backfill_auto_routes_and_matches_stream(spark, tdf):
     assert (sizes["count"] > 8).any() and (sizes["count"] <= 8).any()
 
 
-@pytest.mark.parametrize("impl", ["window", "broadcast"])
+@pytest.mark.parametrize("impl", ["window", "broadcast", "bucketed", "auto"])
 def test_asof_join_tolerance_staleness(spark, impl):
     """tolerance_ms (merge_asof semantics): a probe whose latest
     preceding feature is older than the bound gets nulls; a fresh pick
@@ -373,7 +445,7 @@ def test_asof_join_tolerance_staleness(spark, impl):
     )
     fdf = spark.createDataFrame(feat)
     pdf_ = spark.createDataFrame(probes)
-    fn = asof_join if impl == "window" else asof_join_broadcast
+    fn = ASOF_IMPLS[impl]
     got = {
         r.conv_id: (None if r.asof_turn_idx is None else int(r.asof_turn_idx))
         for r in fn(fdf, pdf_, value_cols=("turn_idx",), tolerance_ms=3_600_000).collect()
@@ -389,7 +461,7 @@ def test_asof_join_tolerance_staleness(spark, impl):
     assert got_free["b"] == 0 and got_free["a"] == 1
 
 
-@pytest.mark.parametrize("impl", ["window", "broadcast"])
+@pytest.mark.parametrize("impl", ["window", "broadcast", "bucketed", "auto"])
 def test_asof_join_null_key_probes_survive(spark, impl):
     """A probe row with a NULL key (or NULL ts) must emit a null-valued
     output row in BOTH physical plans, not vanish (code-review r3)."""
@@ -407,7 +479,7 @@ def test_asof_join_null_key_probes_survive(spark, impl):
         ],
         "conv_id string, probe_ts timestamp",
     )
-    fn = asof_join if impl == "window" else asof_join_broadcast
+    fn = ASOF_IMPLS[impl]
     rows = fn(feat, probes, value_cols=("turn_idx",)).collect()
     assert len(rows) == 3, rows
     got = {(r.conv_id, r.asof_turn_idx) for r in rows}
@@ -416,7 +488,7 @@ def test_asof_join_null_key_probes_survive(spark, impl):
     assert ("zz", None) in got
 
 
-@pytest.mark.parametrize("impl", ["window", "broadcast"])
+@pytest.mark.parametrize("impl", ["window", "broadcast", "bucketed", "auto"])
 def test_asof_join_null_key_features_never_match(spark, impl):
     """A feature row with NULL key or NULL ts must never be picked —
     equality joins (broadcast plan, SQL oracle) skip NULLs, so the
@@ -436,6 +508,6 @@ def test_asof_join_null_key_features_never_match(spark, impl):
         [("a", base.to_pydatetime()), (None, base.to_pydatetime())],
         "conv_id string, probe_ts timestamp",
     )
-    fn = asof_join if impl == "window" else asof_join_broadcast
+    fn = ASOF_IMPLS[impl]
     got = {r.conv_id: r.asof_turn_idx for r in fn(feat, probes, value_cols=("turn_idx",)).collect()}
     assert got == {"a": 0, None: None}
