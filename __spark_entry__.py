@@ -209,6 +209,40 @@ def q13_asof(spark, sf_dir):
     return asof_join(t, p, value_cols=("turn_idx", "text_len"))
 
 
+def q53_asof_bucketed(spark, sf_dir):
+    """q13's semantics through the hot-entity physical plan (analytic
+    time buckets + per-bucket last-event carry, window per (entity,
+    bucket)) — the whale-entity strategy asof_join_auto routes to; the
+    oracle is identical to q13's."""
+    from kmertools_spark.operators import asof_join_bucketed
+    from kmertools_spark.sources import probes_df
+
+    t = _t(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    p = probes_df(spark, sf_dir).distinct()
+    return asof_join_bucketed(
+        t, p, value_cols=("turn_idx", "text_len"), n_buckets=8
+    )
+
+
+def q54_prep_filter(spark, sf_dir):
+    """The streaming-safe prefix of the prep pipeline (normalize ->
+    quality/repetition/token filters -> stratified sampling) as its own
+    gated surface: the SAME function runs on readStream (availableNow
+    equality test), and this row proves the batch values against a full
+    SQL twin."""
+    from kmertools_spark.operators import prep_filter
+
+    return prep_filter(
+        _docs(spark, sf_dir), rates={"en": 0.8}, default_rate=0.3
+    ).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "q",
+        "rep",
+        "lang",
+    )
+
+
 def q39_asof_broadcast(spark, sf_dir):
     """q13's semantics through the alternative physical plan (broadcast
     range join + per-probe top-1) — small-probe-set strategy, same
@@ -800,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_asof_tolerance": q50_asof_tolerance,
         "q51_embedding_dedup_keep": q51_embedding_dedup_keep,
         "q52_training_prep": q52_training_prep,
+        "q53_asof_bucketed": q53_asof_bucketed,
+        "q54_prep_filter": q54_prep_filter,
     }
 
 

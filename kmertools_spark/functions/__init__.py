@@ -12,6 +12,7 @@ from .composition import (
 from .hashing import doc_fingerprint, minhash_sig, simhash_value
 from .kmers import exploded_kmers, kmer_count_pairs
 from .minimizers import exploded_minimisers
+from .tokenize import greedy_token_count, vocab_token_counts
 from .text import (
     lang_guess,
     normalize_text,
@@ -40,4 +41,6 @@ __all__ = [
     "occurrences",
     "quality_score",
     "token_count",
+    "greedy_token_count",
+    "vocab_token_counts",
 ]

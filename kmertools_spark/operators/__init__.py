@@ -26,7 +26,7 @@ from .rolling import (
     rolling_turn_vectors,
 )
 from .packing import pack_documents
-from .prep import training_prep
+from .prep import prep_filter, training_prep
 from .sampling import (
     deterministic_sample,
     sample_gate,
@@ -66,6 +66,7 @@ __all__ = [
     "simhash_buckets",
     "deterministic_sample",
     "pack_documents",
+    "prep_filter",
     "training_prep",
     "sample_gate",
     "sample_slice",

@@ -28,6 +28,71 @@ from .packing import pack_documents
 from .sampling import stratified_sample
 
 
+def prep_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_rep: float = 0.3,
+    min_tokens: int = 5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """The STATELESS prefix of training_prep: normalize -> per-document
+    quality/repetition/token features -> threshold filters ->
+    deterministic per-language sampling. Returns (id, n_tok, q, rep,
+    lang) for the surviving documents.
+
+    Every expression is a per-row Catalyst expression with no state, no
+    window, and no shuffle — so this exact function runs unchanged on a
+    STREAMING DataFrame (readStream -> prep_filter -> writeStream; the
+    availableNow twin is equality-tested against the batch run). Only
+    the packing stage needs a batch boundary (global offsets), which is
+    why training_prep = prep_filter + pack_documents.
+
+    All four features are computed inside ONE struct bound to the
+    normalized text by a lambda (r4): naming the features as plain
+    projected columns lets predicate pushdown substitute each filter
+    threshold through the projection, re-inlining the 2-regex
+    normalizer into every occurrences() reference — 124 regexp_replace
+    nodes in the optimized plan, 62 normalize scans per row. The
+    struct binding plus Spark's subexpression elimination (repeated
+    references to the identical struct subtree evaluate once per
+    operator) cuts that to 8 nodes — measured 5.7s -> 1.05s on the
+    sf0.1 documents table (regression guard in test_plan_shape).
+    """
+
+    def _feats(nn):
+        return F.struct(
+            token_count(nn).alias("n_tok"),
+            quality_score(nn).alias("q"),
+            repetition_ratio(nn, 4).alias("rep"),
+            lang_guess(nn).alias("lang"),
+        )
+
+    hof = F.get(
+        F.transform(F.array(normalize_text(F.col(text_col))), _feats), 0
+    )
+    kept = (
+        docs.select(F.col(id_col), hof.alias("__f"))
+        .where(
+            (F.col("__f.q") >= min_quality)
+            & (F.col("__f.rep") >= min_rep)
+            & (F.col("__f.n_tok") >= min_tokens)
+        )
+        .select(
+            id_col,
+            F.col("__f.n_tok").alias("n_tok"),
+            F.col("__f.q").alias("q"),
+            F.col("__f.rep").alias("rep"),
+            F.col("__f.lang").alias("lang"),
+        )
+    )
+    if rates or default_rate < 1.0:
+        kept = stratified_sample(kept, id_col, "lang", rates or {}, default_rate)
+    return kept
+
+
 def training_prep(
     docs: DataFrame,
     capacity: int,
@@ -47,21 +112,16 @@ def training_prep(
     from the map keep ``default_rate``. ``rates=None`` with
     ``default_rate=1.0`` skips the sampling gate entirely.
     """
-    norm = normalize_text(F.col(text_col))
-    feats = docs.select(
-        F.col(id_col),
-        token_count(norm).alias("n_tok"),
-        quality_score(norm).alias("q"),
-        repetition_ratio(norm, 4).alias("rep"),
-        lang_guess(norm).alias("lang"),
+    kept = prep_filter(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        min_rep=min_rep,
+        min_tokens=min_tokens,
+        rates=rates,
+        default_rate=default_rate,
     )
-    kept = feats.where(
-        (F.col("q") >= min_quality)
-        & (F.col("rep") >= min_rep)
-        & (F.col("n_tok") >= min_tokens)
-    )
-    if rates or default_rate < 1.0:
-        kept = stratified_sample(kept, id_col, "lang", rates or {}, default_rate)
     return pack_documents(
         kept,
         capacity=capacity,

@@ -389,8 +389,7 @@ WHERE (({_sa} * (doc_id % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
     from .hashing import PACK_A as _PKA
     from .hashing import PACK_B as _PKB
 
-    q["q52_training_prep"] = rf"""
-WITH nrm AS (
+    _prep_ctes = rf"""nrm AS (
   SELECT doc_id,
     trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
                         ' +', ' ', 'g')) AS norm
@@ -432,7 +431,10 @@ feat AS (
                WHEN (CASE WHEN n_chars = 0 THEN 0 ELSE spaces + 1 END) > 0
                THEN 0.0 END, 0.0), 6) AS q
   FROM hits
-),
+)"""
+    # q52: the capstone composition over the shared prep CTEs
+    q["q52_training_prep"] = rf"""
+WITH {_prep_ctes},
 keep AS (
   SELECT f.doc_id, f.n_tok
   FROM feat f JOIN rep r ON r.doc_id = f.doc_id
@@ -459,6 +461,20 @@ SELECT doc_id, CAST(bin AS BIGINT) AS bin,
   CAST(LEAST(off + tok, (bin + 1) * 256)
        - GREATEST(off, bin * 256) AS BIGINT) AS n_tok
 FROM ex"""
+
+    # q53: q13's semantics through the bucketed hot-entity plan — the
+    # oracle is IDENTICAL (alternative physical plan, like q30/q10)
+    q["q53_asof_bucketed"] = q["q13_asof"]
+
+    # q54: the streaming-safe prep_filter prefix (normalize -> filters
+    # -> stratified sample) — the same shared CTEs, full column output
+    q["q54_prep_filter"] = rf"""
+WITH {_prep_ctes}
+SELECT f.doc_id, f.n_tok, f.q, r.rep, f.lang
+FROM feat f JOIN rep r ON r.doc_id = f.doc_id
+WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
+  AND (({_sa} * (f.doc_id % {MOD}) + {_sb}) % {MOD})
+      < CASE f.lang WHEN 'en' THEN {int(0.8 * MOD)} ELSE {int(0.3 * MOD)} END"""
 
     # q48: portable-regex normalizer (no \\s — Java and RE2 disagree on
     # its class); DuckDB needs the 'g' flag for replace-all

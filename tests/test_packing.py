@@ -120,3 +120,40 @@ def test_pack_id_order_empty_and_zero_token_inputs(spark):
     assert pack_documents(empty, capacity=8, order="id").count() == 0
     zeros = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
     assert pack_documents(zeros, capacity=8, order="id").count() == 0
+
+
+def test_pack_with_vocab_tokenizer(spark):
+    """r3 VERDICT item 6: pack_documents(tokens_col=...) fed by the
+    greedy longest-match vocab tokenizer — the window map must reflect
+    the TOKENIZER's budgets (python-oracle-checked per doc), not
+    whitespace counts, and the packing invariants must hold over them."""
+    from kmertools_spark.functions import greedy_token_count, vocab_token_counts
+
+    vocab = {"hello", "wor", "ld", "he", "the", " ", "fox", "do", "g"}
+    texts = [
+        "helloworld hello",          # hello|wor|ld| |hello -> 5
+        "the fox dog",               # the| |fox| |do|g -> 6
+        "zzz",                       # 3 fallback chars -> 3
+        "",                          # 0 tokens -> dropped by packer
+        "hellohellohello",           # 3
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    counts = vocab_token_counts(docs, vocab)
+    got = {r.doc_id: r.n_tok for r in counts.collect()}
+    ml = max(len(t) for t in vocab)
+    want = {
+        i: greedy_token_count(t, vocab, ml) for i, t in enumerate(texts)
+    }
+    assert got == want
+    assert got[0] == 5 and got[1] == 6 and got[2] == 3 and got[3] == 0
+
+    out = pack_documents(
+        counts, capacity=4, tokens_col="n_tok", order="id"
+    ).toPandas()
+    # per-document n_tok sums back to the tokenizer's count
+    sums = out.groupby("doc_id")["n_tok"].sum().to_dict()
+    assert sums == {i: n for i, n in want.items() if n > 0}
+    # every bin except the last is exactly full
+    bins = out.groupby("bin")["n_tok"].sum().sort_index()
+    assert (bins.iloc[:-1] == 4).all()

@@ -241,3 +241,21 @@ def test_training_prep_composition_single_exchange(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") == 1
+    # the packer pins its input with a localCheckpoint (r3 ADVICE: the
+    # filter scan must run ONCE), so the composed plan reads ExistingRDD;
+    # the filter PREFIX itself must stay a zero-exchange scan-side plan
+    from kmertools_spark.operators import prep_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pf = prep_filter(docs, rates={"en": 0.8}, default_rate=0.3)
+    fplan = _plan(pf)
+    assert "Exchange" not in fplan
+    assert "Window" not in fplan
+    assert "Join" not in fplan
+    # the normalizer must stay bound ONCE (struct + subexpression
+    # elimination): plain projected feature columns let predicate
+    # pushdown re-inline the 2-regex normalize into every occurrences()
+    # reference — 124 regexp_replace nodes / 62 scans per row (measured
+    # 5.7s vs 1.05s on sf0.1 docs)
+    fopt = _opt(pf)
+    assert fopt.count("regexp_replace") <= 16, fopt.count("regexp_replace")

@@ -334,6 +334,52 @@ def test_sampling_filters_are_streaming_compatible(spark, tmp_path):
     assert got == want and want
 
 
+def test_prep_filter_streaming_equals_batch(spark, tmp_path):
+    """r3 VERDICT item 8: the SHIPPED prep_filter (training_prep's
+    normalize -> quality/repetition/token filters -> stratified-sample
+    prefix) runs unchanged on a readStream source via availableNow and
+    keeps exactly the batch rows — only packing needs a batch boundary.
+    """
+    import pandas as pd
+
+    from kmertools_spark.operators import prep_filter
+
+    texts = []
+    for i in range(300):
+        if i % 7 == 0:
+            texts.append("zz zz zz zz zz zz zz zz")  # repetitive -> dropped
+        elif i % 3 == 0:
+            texts.append(f"le chat et la maison numero {i} et le jardin")
+        else:
+            texts.append(f"the quick brown fox {i} and the lazy dog of doom")
+    pdf = pd.DataFrame({"doc_id": range(300), "text": texts})
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf.iloc[:150].to_parquet(src / "b1.parquet")
+    pdf.iloc[150:].to_parquet(src / "b2.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    kw = dict(rates={"en": 0.6}, default_rate=0.9)
+    out = tmp_path / "out"
+    q = (
+        prep_filter(spark.readStream.schema(schema).parquet(str(src)), **kw)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_tok, r.lang)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r.doc_id, r.n_tok, r.lang)
+        for r in prep_filter(spark.createDataFrame(pdf), **kw).collect()
+    }
+    assert got == want and want
+
+
 def test_text_feature_columns_are_streaming_compatible(spark, tmp_path):
     """normalize/quality/repetition/lang are pure codegen expressions —
     they run unchanged on a readStream source and equal the batch values
