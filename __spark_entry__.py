@@ -243,6 +243,23 @@ def q54_prep_filter(spark, sf_dir):
     )
 
 
+def q55_vocab_pack(spark, sf_dir):
+    """Real-tokenizer packing end to end: greedy longest-match token
+    counts under the pinned DEMO_VOCAB (mapInPandas, broadcast vocab)
+    feed pack_documents(tokens_col=) in id order, so the window map
+    reflects the TOKENIZER's budgets. The DuckDB twin replays the same
+    greedy scan as a recursive CTE (advance by the longest vocab match
+    at each position) and the same window-cumsum pack. Bounded to 200
+    docs: the sequential-scan oracle is O(text length) iterations."""
+    from kmertools_spark.functions import vocab_token_counts
+    from kmertools_spark.functions.tokenize import DEMO_VOCAB
+    from kmertools_spark.operators import pack_documents
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    counts = vocab_token_counts(docs, DEMO_VOCAB)
+    return pack_documents(counts, capacity=64, tokens_col="n_tok", order="id")
+
+
 def q39_asof_broadcast(spark, sf_dir):
     """q13's semantics through the alternative physical plan (broadcast
     range join + per-probe top-1) — small-probe-set strategy, same
@@ -836,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_training_prep": q52_training_prep,
         "q53_asof_bucketed": q53_asof_bucketed,
         "q54_prep_filter": q54_prep_filter,
+        "q55_vocab_pack": q55_vocab_pack,
     }
 
 

@@ -31,6 +31,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+# the demo vocabulary pinned by gate q55 (shared with the DuckDB
+# recursive-CTE oracle in oracle/sql_queries.py — both sides tokenize
+# with the SAME table; ASCII only, no quotes)
+DEMO_VOCAB: tuple[str, ...] = (
+    "the", " ", "and", "of", "ing", "tion", "er", "an", "re", "he",
+    "in", "on", "at", "en", "nd", "ti", "es", "or",
+    "a", "e", "i", "o", "u", "s", "t", "n",
+)
+
+
 def greedy_token_count(text: str, vocab: set[str], max_len: int) -> int:
     """Number of greedy longest-match tokens for one text (pure python
     twin used by tests as the oracle)."""

@@ -462,6 +462,49 @@ SELECT doc_id, CAST(bin AS BIGINT) AS bin,
        - GREATEST(off, bin * 256) AS BIGINT) AS n_tok
 FROM ex"""
 
+    # q55: greedy longest-match tokenizer (pinned DEMO_VOCAB) + id-order
+    # packing. The recursive CTE replays the EXACT greedy scan: from
+    # position pos, advance by the longest vocab token matching there
+    # (ties impossible: max over lengths), else by 1 (byte-fallback),
+    # counting one token either way — the same rule as
+    # functions/tokenize.greedy_token_count. Bounded to 200 docs: the
+    # oracle is inherently sequential (one iteration per token).
+    from ..functions.tokenize import DEMO_VOCAB as _VOC
+
+    _voc_sql = ", ".join(f"('{t}')" for t in _VOC)
+    q["q55_vocab_pack"] = f"""
+WITH RECURSIVE vocab(tok) AS (VALUES {_voc_sql}),
+docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+step(doc_id, pos, cnt) AS (
+  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM docs
+  UNION ALL
+  SELECT s.doc_id,
+    s.pos + coalesce((SELECT max(length(v.tok)) FROM vocab v
+                      WHERE substr(d.text, CAST(s.pos AS INT), length(v.tok)) = v.tok), 1),
+    s.cnt + 1
+  FROM step s JOIN docs d USING (doc_id)
+  WHERE s.pos <= length(d.text)
+),
+cnt AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS tok FROM step GROUP BY doc_id),
+nz AS (SELECT doc_id, tok FROM cnt WHERE tok > 0),
+off AS (
+  SELECT doc_id, tok,
+    CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM nz
+),
+ex AS (
+  SELECT doc_id, tok, off,
+    unnest(range(off // 64, (off + tok - 1) // 64 + 1)) AS bin
+  FROM off
+)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+  CAST(GREATEST(off, bin * 64) - off AS BIGINT) AS tok_start,
+  CAST(GREATEST(off, bin * 64) - bin * 64 AS BIGINT) AS pos_in_bin,
+  CAST(LEAST(off + tok, (bin + 1) * 64)
+       - GREATEST(off, bin * 64) AS BIGINT) AS n_tok
+FROM ex"""
+
     # q53: q13's semantics through the bucketed hot-entity plan — the
     # oracle is IDENTICAL (alternative physical plan, like q30/q10)
     q["q53_asof_bucketed"] = q["q13_asof"]
