@@ -260,6 +260,22 @@ def q55_vocab_pack(spark, sf_dir):
     return pack_documents(counts, capacity=64, tokens_col="n_tok", order="id")
 
 
+def q56_asof_auto(spark, sf_dir):
+    """The skew ROUTER under the gate: hot_threshold low enough that
+    real conversations split across both branches (hot entities take
+    the bucketed plan, cold the window plan, outputs unioned) — the
+    oracle is q13's, so the gate proves the routed union reproduces the
+    single-plan rows exactly."""
+    from kmertools_spark.operators import asof_join_auto
+    from kmertools_spark.sources import probes_df
+
+    t = _t(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    p = probes_df(spark, sf_dir).distinct()
+    return asof_join_auto(
+        t, p, value_cols=("turn_idx", "text_len"), hot_threshold=12, n_buckets=4
+    )
+
+
 def q39_asof_broadcast(spark, sf_dir):
     """q13's semantics through the alternative physical plan (broadcast
     range join + per-probe top-1) — small-probe-set strategy, same
@@ -854,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_asof_bucketed": q53_asof_bucketed,
         "q54_prep_filter": q54_prep_filter,
         "q55_vocab_pack": q55_vocab_pack,
+        "q56_asof_auto": q56_asof_auto,
     }
 
 

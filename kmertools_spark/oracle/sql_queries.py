@@ -508,6 +508,9 @@ FROM ex"""
     # q53: q13's semantics through the bucketed hot-entity plan — the
     # oracle is IDENTICAL (alternative physical plan, like q30/q10)
     q["q53_asof_bucketed"] = q["q13_asof"]
+    # q56: the skew router (cold window-plan + hot bucketed-plan union)
+    # — alternative physical composition, identical oracle
+    q["q56_asof_auto"] = q["q13_asof"]
 
     # q54: the streaming-safe prep_filter prefix (normalize -> filters
     # -> stratified sample) — the same shared CTEs, full column output
