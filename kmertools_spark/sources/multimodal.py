@@ -226,3 +226,79 @@ def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+def audio_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
+    """Per-clip audio features: duration, zero-crossing rate, and an
+    RMS loudness envelope over ``n_windows`` equal windows.
+
+    REAL-CODEC INTEGRATION POINT (same seam as _decode_rgb): the
+    payload -> waveform step interprets the payload as raw
+    little-endian int16 PCM — deterministic and container-safe; swap in
+    soundfile/ffmpeg on a cluster that ships them and everything below
+    is unchanged. After the per-payload decode, the whole Arrow batch
+    is ONE concatenated numpy pass: per-(clip, window) sums via
+    bincount on fused indices, zero crossings via a sign-change diff
+    masked at clip boundaries — no per-row Python beyond the decode
+    loop.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("zcr", DoubleType()),
+            StructField("rms", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0:
+                continue
+            waves = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                waves.append(
+                    np.frombuffer(b[: len(b) & ~1], dtype="<i2").astype(
+                        np.float64
+                    )
+                    / 32768.0
+                )
+            sizes = np.fromiter((w.size for w in waves), dtype=np.int64, count=k)
+            flat_len = int(sizes.sum())
+            flat = np.concatenate(waves) if flat_len else np.zeros(0)
+            rows = np.repeat(np.arange(k), sizes)
+            offs = np.zeros(k, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            pos = np.arange(flat_len, dtype=np.int64) - offs[rows]
+            win = pos * n_windows // np.maximum(1, sizes[rows])
+            idx = rows * n_windows + win
+            sq = np.bincount(idx, weights=flat * flat, minlength=k * n_windows)
+            cnt = np.bincount(idx, minlength=k * n_windows)
+            rms = np.sqrt(sq / np.maximum(1, cnt)).reshape(k, n_windows)
+            # zero crossings: sign changes between in-clip neighbors only
+            if flat_len > 1:
+                sign = flat >= 0
+                change = sign[1:] != sign[:-1]
+                same_row = rows[1:] == rows[:-1]
+                zc = np.bincount(
+                    rows[1:], weights=(change & same_row), minlength=k
+                )
+            else:
+                zc = np.zeros(k)
+            zcr = zc / np.maximum(1, sizes - 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_samples": sizes,
+                    "zcr": zcr,
+                    "rms": list(rms),
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema)
+    )

@@ -194,3 +194,50 @@ def test_decode_rgb_fallback_deterministic():
     b = _decode_rgb(payload, width=6, height=4)
     assert a.shape == (4, 6, 3) and (a == b).all()
     assert a.ravel()[: len(payload)].tolist() == list(payload)
+
+
+def test_audio_features_python_oracle_and_batch_independence(spark):
+    """audio_features must equal a per-clip python replay (int16-PCM
+    interpretation, windowed RMS, boundary-masked zero crossings) and be
+    independent of Arrow batch slicing (the concat/bincount fusion must
+    never bleed across clips)."""
+    import numpy as np
+
+    from kmertools_spark.sources.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, n=24)
+    got = {
+        r.media_id: (r.n_samples, r.zcr, list(r.rms))
+        for r in audio_features(media, n_windows=4).collect()
+    }
+    clips = media.where("kind = 'audio'").select("media_id", "payload").collect()
+    assert set(got) == {r.media_id for r in clips} and got
+    for r in clips:
+        b = bytes(r.payload)
+        w = np.frombuffer(b[: len(b) & ~1], dtype="<i2").astype(np.float64) / 32768.0
+        n = w.size
+        rms = []
+        for k in range(4):
+            seg = w[(np.arange(n) * 4 // max(1, n)) == k]
+            rms.append(float(np.sqrt((seg * seg).sum() / max(1, seg.size))))
+        sign = w >= 0
+        zcr = float((sign[1:] != sign[:-1]).sum() / max(1, n - 1))
+        gn, gz, gr = got[r.media_id]
+        assert gn == n
+        assert abs(gz - zcr) < 1e-12
+        assert np.allclose(gr, rms, atol=1e-12)
+    # batch-size independence: 1-row batches == default batches
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        got1 = {
+            r.media_id: (r.n_samples, r.zcr, list(r.rms))
+            for r in audio_features(media, n_windows=4).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    assert got1 == {k: (a, b, c) for k, (a, b, c) in got.items()} or all(
+        got1[k][0] == got[k][0]
+        and abs(got1[k][1] - got[k][1]) < 1e-12
+        and np.allclose(got1[k][2], got[k][2], atol=1e-12)
+        for k in got
+    )
