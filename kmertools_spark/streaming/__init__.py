@@ -1,5 +1,6 @@
 """Structured Streaming surface."""
 
+from .asof import streaming_asof
 from .dedup import streaming_lsh_candidates
 from .sessions import (
     streaming_exact_dedup,
@@ -9,6 +10,7 @@ from .sessions import (
 from .stateful import rolling_vectors_stream
 
 __all__ = [
+    "streaming_asof",
     "streaming_exact_dedup",
     "streaming_kmer_counts",
     "streaming_lsh_candidates",

@@ -428,3 +428,98 @@ def test_text_feature_columns_are_streaming_compatible(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
     want = sorted(map(tuple, features(spark.createDataFrame(pdf)).collect()))
     assert got == want and got
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """streaming_asof must emit exactly asof_join's rows when data
+    arrives respecting the event-time-ordered contract: same strict-<
+    leakage rule, same equal-ts largest-ord tie-break, same tolerance
+    truncation, nulls for probes nothing precedes."""
+    import numpy as np
+    import pandas as pd
+
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.streaming import streaming_asof
+
+    rng = np.random.RandomState(23)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for c in range(30):
+        t = base
+        for i in range(int(rng.randint(2, 12))):
+            t = t + pd.Timedelta(seconds=int(rng.randint(1, 300)))
+            rows.append((f"c{c}", i, t))
+    feat = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    # tie case: two features at the SAME instant (largest turn_idx wins)
+    tie_ts = base + pd.Timedelta(hours=2)
+    feat = pd.concat(
+        [feat, pd.DataFrame({"conv_id": ["c0", "c0"], "turn_idx": [90, 91], "ts": [tie_ts, tie_ts]})]
+    )
+    probes = feat.sample(60, random_state=5)[["conv_id", "ts"]].rename(
+        columns={"ts": "probe_ts"}
+    )
+    # probe AT the tie instant (strict '<': must NOT see the tie rows),
+    # probe after it (must see turn 91), and a no-history probe
+    probes = pd.concat(
+        [
+            probes,
+            pd.DataFrame(
+                {
+                    "conv_id": ["c0", "c0", "zz", None],
+                    "probe_ts": [tie_ts, tie_ts + pd.Timedelta(seconds=1), base, base],
+                }
+            ),
+        ]
+    )
+
+    feat["ts"] = feat["ts"].astype("datetime64[us]")
+    probes["probe_ts"] = probes["probe_ts"].astype("datetime64[us]")
+    fsrc = tmp_path / "feat"; psrc = tmp_path / "pr"
+    fsrc.mkdir(); psrc.mkdir()
+    # two event-time-ordered batches (the arrival contract)
+    cut = base + pd.Timedelta(minutes=20)
+    feat[feat.ts <= cut].to_parquet(fsrc / "b1.parquet")
+    feat[feat.ts > cut].to_parquet(fsrc / "b2.parquet")
+    probes[probes.probe_ts <= cut].to_parquet(psrc / "b1.parquet")
+    probes[probes.probe_ts > cut].to_parquet(psrc / "b2.parquet")
+
+    fschema = spark.read.parquet(str(fsrc)).schema
+    pschema = spark.read.parquet(str(psrc)).schema
+
+    for tol in (None, 120_000):
+        out = tmp_path / f"out{tol}"
+        q = (
+            streaming_asof(
+                spark.readStream.schema(fschema).parquet(str(fsrc)),
+                spark.readStream.schema(pschema).parquet(str(psrc)),
+                value_cols=("turn_idx",),
+                tolerance_ms=tol,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / f"ck{tol}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        key = lambda x: (x[0] or "", str(x[1]), -1 if x[2] is None else x[2])
+        got = sorted(
+            (
+                (r.conv_id, r.probe_ts, r.asof_turn_idx)
+                for r in spark.read.parquet(str(out)).collect()
+            ),
+            key=key,
+        )
+        want = sorted(
+            (
+                (r.conv_id, r.probe_ts, r.asof_turn_idx)
+                for r in asof_join(
+                    spark.createDataFrame(feat),
+                    spark.createDataFrame(probes),
+                    value_cols=("turn_idx",),
+                    tolerance_ms=tol,
+                ).collect()
+            ),
+            key=key,
+        )
+        assert got == want, (tol, got[:5], want[:5])
