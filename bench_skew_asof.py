@@ -107,13 +107,9 @@ def main() -> None:
             n_buckets=max(64, 4 * cpus),
         ),
     }
-    def force_cols(df) -> int:
-        # count() would prune the window projection AND its sort —
-        # hash-reduce every output column instead (same as bench.py)
-        df.select(F.xxhash64(*df.columns).alias("__h")).agg(
-            F.expr("bit_xor(__h)")
-        ).collect()
-        return 1
+    # count() would prune the window projection AND its sort — use the
+    # ONE shared full-column forcing recipe (code-review r4 finding 6)
+    from bench import force_cols
 
     t_res: dict[str, float] = {}
     for in_name, f, p in (

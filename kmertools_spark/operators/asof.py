@@ -196,9 +196,13 @@ def asof_join_bucketed(
         "__b",
         F.expr(f"(__tms - __lo) * {B} div (__hi - __lo + 1)"),
     )
+    # order by FULL-precision __t (then ord) — the window plan's event
+    # order; ms-truncated __tms alone would mis-pick between two events
+    # inside one millisecond (code-review r4 finding 3). __tms rides
+    # along for the tolerance check.
     last_ev = F.max(
         F.when(
-            F.col(_EV) == 1, F.struct("__tms", "__ord", "__payload")
+            F.col(_EV) == 1, F.struct("__t", "__ord", "__tms", "__payload")
         )
     ).alias("__lastev")
     bstats = u2.groupBy(on, "__b").agg(last_ev)
@@ -217,7 +221,7 @@ def asof_join_bucketed(
         .select(
             F.col(on),
             F.col("__b"),
-            F.lit(None).cast(u.schema["__t"].dataType).alias("__t"),
+            F.col("__c.__t").alias("__t"),
             F.col("__c.__tms").alias("__tms"),
             F.lit(1).alias(_EV),
             F.col("__c.__ord").alias("__ord"),
@@ -229,8 +233,8 @@ def asof_join_bucketed(
     ).unionByName(carry)
     # __t after __tms keeps sub-ms event order identical to the window
     # plan (epoch ms truncates microseconds); the carry pseudo-event
-    # can never tie a real row on __tms (equal ms => same bucket), so
-    # its NULL __t never reaches the comparison
+    # keeps its ORIGINAL full-precision __t and can never tie a real
+    # row on __tms (equal ms => same bucket), so it always sorts first
     w = (
         Window.partitionBy(on, "__b")
         .orderBy("__tms", "__t", _EV, "__ord")

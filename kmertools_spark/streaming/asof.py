@@ -5,12 +5,14 @@ without re-scanning history.
 
 Shape: features and probes are unioned into one marked stream (the
 same union-marker idea as the batch plan), grouped by entity, and an
-applyInPandasWithState operator keeps ONE feature row per live entity
-as state — the latest seen. Each micro-batch is sorted by (event time,
+applyInPandasWithState operator keeps TWO feature rows per live entity
+as state — the latest, plus the latest at a strictly earlier instant.
+The second row exists for the strict-'<' rule across micro-batches: a
+probe at exactly the latest feature's timestamp must be served the
+previous instant's row (the batch tie rule), which O(1)-latest-only
+state would have discarded. Each micro-batch is sorted by (event time,
 probe-before-event, ord) at FULL timestamp precision, so the batch tie
-rules hold exactly: a probe at ts sees only features strictly earlier
-(same-instant features sort after it), and equal-ts features resolve
-to the largest ord. The staleness check truncates to milliseconds on
+rules hold exactly; the staleness check truncates to milliseconds on
 both sides, matching the batch plan's epoch_ms comparison bit-for-bit.
 
 Arrival contract (same as rolling_vectors_stream): rows must arrive in
@@ -20,27 +22,36 @@ have served cannot retract that probe's emitted row — append-mode
 streaming cannot un-emit. The watermark bounds how stale such a
 violation can be; the batch asof_join is the recovery/backfill tool.
 
-State per entity: one (event µs, ord, payload) tuple — O(1) regardless
-of history length, evicted by event-time timeout after
-``state_horizon_ms`` idle. An entity whose state was evicted serves
-NULLs until its next feature row (exactly what a feature store serves
-after a retention window).
+State is O(1) regardless of history length, evicted by event-time
+timeout after ``state_horizon_ms`` idle (the timeout timestamp is
+clamped above the current watermark — Spark rejects a timeout below
+it, and an entity whose horizon already passed must still serve its
+current probes before evicting). An entity whose state was evicted
+serves NULLs until its next feature row (exactly what a feature store
+serves after a retention window).
 """
 
 from __future__ import annotations
+
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
     LongType,
+    ShortType,
     StructField,
     StructType,
     TimestampType,
 )
 
 from ..operators.asof import _union_marker
+
+_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
 def streaming_asof(
@@ -70,6 +81,11 @@ def streaming_asof(
 
     payload_t = u.schema["__payload"].dataType
     pfields = [f.name for f in payload_t.fields]
+    # Arrow->pandas widens a struct's integral children to float when
+    # the batch mixes events with NULL-payload probe rows; writing that
+    # float back into a LongType state field silently NULLs it
+    # (code-review r4 finding 1) — coerce per the declared child type
+    int_field = [isinstance(f.dataType, _INT_TYPES) for f in payload_t.fields]
     out_cols = [on, probe_ts_col, *pfields]
     out_schema = StructType(
         [
@@ -83,26 +99,35 @@ def streaming_asof(
             StructField("us", LongType()),
             StructField("ord", LongType()),
             StructField("payload", payload_t),
+            StructField("pus", LongType()),
+            StructField("pord", LongType()),
+            StructField("ppayload", payload_t),
         ]
     )
 
     def _as_tuple(payload):
         if payload is None:
             return None
-        if isinstance(payload, tuple):
-            return payload
-        if isinstance(payload, dict):
-            return tuple(payload[n] for n in pfields)
-        return tuple(payload[n] for n in pfields)  # Row supports [name]
+        if not isinstance(payload, tuple):
+            payload = tuple(payload[n] for n in pfields)  # dict or Row
+        return tuple(
+            None
+            if v is None or (isinstance(v, float) and math.isnan(v))
+            else (int(v) if is_int else v)
+            for v, is_int in zip(payload, int_field)
+        )
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame(columns=out_cols)
             return
-        last = tuple(state.get) if state.exists else None  # (us, ord, payload)
-        if last is not None:
-            last = (last[0], last[1], _as_tuple(last[2]))
+        last = prev = None  # (us, ord, payload-tuple)
+        if state.exists:
+            us, ordv, pl, pus, pord, ppl = state.get
+            last = (us, ordv, _as_tuple(pl))
+            if pus is not None:
+                prev = (pus, pord, _as_tuple(ppl))
         frames = [p for p in pdfs if len(p)]
         if not frames:
             yield pd.DataFrame(columns=out_cols)
@@ -113,22 +138,42 @@ def streaming_asof(
         pdf = pdf.sort_values(
             ["__t", "__is_event", "__ord"], na_position="first", kind="mergesort"
         )
-        ts_vals = pdf["__t"].to_numpy()  # datetime64[us]
-        us_vals = ts_vals.astype("datetime64[us]").astype("float64")  # NaT->nan
-        ev_vals = pdf["__is_event"].to_numpy()
-        ord_vals = pdf["__ord"].to_numpy()
-        pl_vals = pdf["__payload"].tolist()
+        us_vals = (
+            pdf["__t"].to_numpy().astype("datetime64[us]").astype("float64")
+        )  # NaT -> nan
         out = {c: [] for c in out_cols}
         for t_orig, t_us, is_ev, ordv, pl in zip(
-            pdf["__t"], us_vals, ev_vals, ord_vals, pl_vals
+            pdf["__t"],
+            us_vals,
+            pdf["__is_event"].to_numpy(),
+            pdf["__ord"].to_numpy(),
+            pdf["__payload"].tolist(),
         ):
             r_us = None if pd.isna(t_us) else int(t_us)
             if is_ev == 1:
                 cand = (r_us, int(ordv), _as_tuple(pl))
-                if last is None or (cand[0], cand[1]) >= (last[0], last[1]):
+                if last is None:
                     last = cand
+                elif (cand[0], cand[1]) >= (last[0], last[1]):
+                    if cand[0] > last[0]:
+                        prev = last  # new instant: old latest backs it
+                    last = cand
+                elif cand[0] < last[0] and (
+                    prev is None or (cand[0], cand[1]) >= (prev[0], prev[1])
+                ):
+                    prev = cand  # contract violation: best-effort backfill
             else:
-                picked = None if r_us is None else last
+                # strict '<' at full us precision, across batches too
+                # (code-review r4 finding 4): a probe tied with the
+                # retained latest instant falls back to the previous one
+                if r_us is None:
+                    picked = None
+                elif last is not None and last[0] < r_us:
+                    picked = last
+                elif prev is not None and prev[0] < r_us:
+                    picked = prev
+                else:
+                    picked = None
                 if (
                     picked is not None
                     and tolerance_ms is not None
@@ -141,8 +186,23 @@ def streaming_asof(
                 for i, name in enumerate(pfields):
                     out[name].append(None if picked is None else picked[2][i])
         if last is not None:
-            state.update((int(last[0]), int(last[1]), last[2]))
-            state.setTimeoutTimestamp(int(last[0]) // 1000 + state_horizon_ms)
+            state.update(
+                (
+                    int(last[0]),
+                    int(last[1]),
+                    last[2],
+                    None if prev is None else int(prev[0]),
+                    None if prev is None else int(prev[1]),
+                    None if prev is None else prev[2],
+                )
+            )
+            # the timeout may not sit below the current watermark
+            # (code-review r4 finding 2): an entity idle past its
+            # horizon still serves this batch, then evicts at wm+1
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(int(last[0]) // 1000 + state_horizon_ms, wm + 1)
+            )
         yield pd.DataFrame(out)
 
     return u.groupBy(on).applyInPandasWithState(

@@ -511,3 +511,49 @@ def test_asof_join_null_key_features_never_match(spark, impl):
     fn = ASOF_IMPLS[impl]
     got = {r.conv_id: r.asof_turn_idx for r in fn(feat, probes, value_cols=("turn_idx",)).collect()}
     assert got == {"a": 0, None: None}
+
+
+def test_asof_bucketed_sub_millisecond_carry(spark):
+    """code-review r4 finding 3: two events inside ONE millisecond —
+    the bucketed plan's per-bucket carry must pick by FULL-precision
+    (ts, ord), not by (ms, ord), or a later-bucket probe is served the
+    wrong row. Also covers the same-ms in-bucket tie."""
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    feat = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["a", "a", "a"],
+                "turn_idx": [0, 5, 1],
+                "ts": [
+                    base - pd.Timedelta(seconds=100),
+                    base + pd.Timedelta(microseconds=100),
+                    base + pd.Timedelta(microseconds=900),
+                ],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["a", "a"],
+                "probe_ts": [
+                    base + pd.Timedelta(microseconds=500),  # in-ms tie
+                    base + pd.Timedelta(seconds=100),       # later bucket
+                ],
+            }
+        )
+    )
+
+    def norm(df):
+        return sorted(
+            (r.probe_ts, r.asof_turn_idx) for r in df.collect()
+        )
+
+    want = norm(asof_join(feat, probes))
+    # probe@+500us sees only the +100us event (turn 5); probe@+100s
+    # sees the +900us event (turn 1, the full-precision latest)
+    assert [v for _, v in want] == [5, 1]
+    got_b = norm(asof_join_bucketed(feat, probes, n_buckets=4))
+    got_a = norm(asof_join_auto(feat, probes, hot_threshold=1, n_buckets=4))
+    assert got_b == want
+    assert got_a == want

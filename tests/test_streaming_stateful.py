@@ -472,16 +472,36 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
         ]
     )
 
+    cut = base + pd.Timedelta(minutes=20)
+    # cross-batch strict-< tie (code-review r4 finding 4): cq's latest
+    # feature arrives in batch 1 at exactly `cut`; the probe at `cut`
+    # arrives in batch 2 and must be served the EARLIER feature (turn
+    # 1), not the same-instant one — the O(1)+prev state path
+    feat = pd.concat(
+        [
+            feat,
+            pd.DataFrame(
+                {
+                    "conv_id": ["cq", "cq"],
+                    "turn_idx": [1, 7],
+                    "ts": [cut - pd.Timedelta(minutes=10), cut],
+                }
+            ),
+        ]
+    )
+    probes = pd.concat(
+        [probes, pd.DataFrame({"conv_id": ["cq"], "probe_ts": [cut]})]
+    )
     feat["ts"] = feat["ts"].astype("datetime64[us]")
     probes["probe_ts"] = probes["probe_ts"].astype("datetime64[us]")
     fsrc = tmp_path / "feat"; psrc = tmp_path / "pr"
     fsrc.mkdir(); psrc.mkdir()
-    # two event-time-ordered batches (the arrival contract)
-    cut = base + pd.Timedelta(minutes=20)
+    # two event-time-ordered batches (the arrival contract); probes at
+    # the cut go to batch 2 so the tie crosses the state boundary
     feat[feat.ts <= cut].to_parquet(fsrc / "b1.parquet")
     feat[feat.ts > cut].to_parquet(fsrc / "b2.parquet")
-    probes[probes.probe_ts <= cut].to_parquet(psrc / "b1.parquet")
-    probes[probes.probe_ts > cut].to_parquet(psrc / "b2.parquet")
+    probes[probes.probe_ts < cut].to_parquet(psrc / "b1.parquet")
+    probes[probes.probe_ts >= cut].to_parquet(psrc / "b2.parquet")
 
     fschema = spark.read.parquet(str(fsrc)).schema
     pschema = spark.read.parquet(str(psrc)).schema
@@ -490,8 +510,12 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
         out = tmp_path / f"out{tol}"
         q = (
             streaming_asof(
-                spark.readStream.schema(fschema).parquet(str(fsrc)),
-                spark.readStream.schema(pschema).parquet(str(psrc)),
+                spark.readStream.schema(fschema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(fsrc)),
+                spark.readStream.schema(pschema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(psrc)),
                 value_cols=("turn_idx",),
                 tolerance_ms=tol,
             )
