@@ -22,6 +22,12 @@ have served cannot retract that probe's emitted row — append-mode
 streaming cannot un-emit. The watermark bounds how stale such a
 violation can be; the batch asof_join is the recovery/backfill tool.
 
+Known limitation: a double payload value that is genuinely NaN is
+served as NULL — the output pandas->Arrow boundary uses NaN as the
+null sentinel (true of every pandas-emitting operator); integral
+fields are exact at every width (a to_json twin carries them past the
+float64 widening of the input boundary).
+
 State is O(1) regardless of history length, evicted by event-time
 timeout after ``state_horizon_ms`` idle (the timeout timestamp is
 clamped above the current watermark — Spark rejects a timeout below
@@ -33,6 +39,7 @@ serves after a retention window).
 
 from __future__ import annotations
 
+import json
 import math
 
 import pandas as pd
@@ -41,6 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ByteType,
+    DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     ShortType,
@@ -81,11 +90,22 @@ def streaming_asof(
 
     payload_t = u.schema["__payload"].dataType
     pfields = [f.name for f in payload_t.fields]
-    # Arrow->pandas widens a struct's integral children to float when
-    # the batch mixes events with NULL-payload probe rows; writing that
-    # float back into a LongType state field silently NULLs it
-    # (code-review r4 finding 1) — coerce per the declared child type
-    int_field = [isinstance(f.dataType, _INT_TYPES) for f in payload_t.fields]
+    # Arrow->pandas widens a struct's integral children to float64 when
+    # the batch mixes events with NULL-payload probe rows — lossy above
+    # 2^53 (xxhash64-scale ids) and unable to distinguish a double's
+    # genuine NaN from NULL (code-review r4 findings 1/7/8). A JVM-side
+    # to_json twin of the payload rides along: integral fields parse
+    # back EXACTLY (json carries full int64 digits), double fields keep
+    # the null-vs-NaN distinction ("NaN" string vs omitted key); other
+    # types (strings, timestamps — json truncates ts to ms) still read
+    # from the pandas dict, which is exact for them.
+    u = u.withColumn("__pj", F.to_json("__payload"))
+    numeric_kind = [
+        "int"
+        if isinstance(f.dataType, _INT_TYPES)
+        else ("float" if isinstance(f.dataType, (DoubleType, FloatType)) else "")
+        for f in payload_t.fields
+    ]
     out_cols = [on, probe_ts_col, *pfields]
     out_schema = StructType(
         [
@@ -105,17 +125,38 @@ def streaming_asof(
         ]
     )
 
-    def _as_tuple(payload):
+    def _clean(v):
+        # scalar NULL markers pandas may hand us for non-numeric fields
+        if v is None or v is pd.NaT:
+            return None
+        return v
+
+    def _from_batch(payload, pjson):
+        """Exact payload tuple for an event row of a micro-batch."""
+        if pjson is None or (isinstance(pjson, float) and math.isnan(pjson)):
+            return None
+        parsed = json.loads(pjson)
+        vals = []
+        for name, kind in zip(pfields, numeric_kind):
+            if kind == "int":
+                vals.append(parsed.get(name))  # exact int64 or None
+            elif kind == "float":
+                v = parsed.get(name)
+                if isinstance(v, str):
+                    v = float(v)  # "NaN" / "Infinity" / "-Infinity"
+                vals.append(v)
+            else:
+                vals.append(_clean(payload[name]))
+        return tuple(vals)
+
+    def _from_state(payload):
+        """State rows round-trip row-wise (no pandas widening): the
+        Row's values are already exact — just normalize to a tuple."""
         if payload is None:
             return None
-        if not isinstance(payload, tuple):
-            payload = tuple(payload[n] for n in pfields)  # dict or Row
-        return tuple(
-            None
-            if v is None or (isinstance(v, float) and math.isnan(v))
-            else (int(v) if is_int else v)
-            for v, is_int in zip(payload, int_field)
-        )
+        if isinstance(payload, tuple):
+            return payload
+        return tuple(payload[n] for n in pfields)
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -125,9 +166,9 @@ def streaming_asof(
         last = prev = None  # (us, ord, payload-tuple)
         if state.exists:
             us, ordv, pl, pus, pord, ppl = state.get
-            last = (us, ordv, _as_tuple(pl))
+            last = (us, ordv, _from_state(pl))
             if pus is not None:
-                prev = (pus, pord, _as_tuple(ppl))
+                prev = (pus, pord, _from_state(ppl))
         frames = [p for p in pdfs if len(p)]
         if not frames:
             yield pd.DataFrame(columns=out_cols)
@@ -142,16 +183,17 @@ def streaming_asof(
             pdf["__t"].to_numpy().astype("datetime64[us]").astype("float64")
         )  # NaT -> nan
         out = {c: [] for c in out_cols}
-        for t_orig, t_us, is_ev, ordv, pl in zip(
+        for t_orig, t_us, is_ev, ordv, pl, pj in zip(
             pdf["__t"],
             us_vals,
             pdf["__is_event"].to_numpy(),
             pdf["__ord"].to_numpy(),
             pdf["__payload"].tolist(),
+            pdf["__pj"].tolist(),
         ):
             r_us = None if pd.isna(t_us) else int(t_us)
             if is_ev == 1:
-                cand = (r_us, int(ordv), _as_tuple(pl))
+                cand = (r_us, int(ordv), _from_batch(pl, pj))
                 if last is None:
                     last = cand
                 elif (cand[0], cand[1]) >= (last[0], last[1]):

@@ -502,6 +502,12 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     feat[feat.ts > cut].to_parquet(fsrc / "b2.parquet")
     probes[probes.probe_ts < cut].to_parquet(psrc / "b1.parquet")
     probes[probes.probe_ts >= cut].to_parquet(psrc / "b2.parquet")
+    # FileStreamSource orders by mtime at ms resolution — pin distinct
+    # mtimes so b1 ALWAYS processes before b2 (review r4 round 2)
+    import os
+    for src in (fsrc, psrc):
+        os.utime(src / "b1.parquet", (1, 1))
+        os.utime(src / "b2.parquet", (2, 2))
 
     fschema = spark.read.parquet(str(fsrc)).schema
     pschema = spark.read.parquet(str(psrc)).schema
@@ -547,3 +553,83 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
             key=key,
         )
         assert got == want, (tol, got[:5], want[:5])
+
+
+def test_streaming_asof_exact_int64_and_nan_payloads(spark, tmp_path):
+    """code-review r4 round 2: integral payload values must survive
+    the Arrow float-widening path EXACTLY — an int64 above 2^53
+    (xxhash64-scale) served from state must not round through float64.
+    Double fields: NaN stays distinct from NULL through parsing and
+    state, but the OUTPUT pandas->Arrow boundary collapses float NaN to
+    NULL (pandas' null sentinel) — a documented limitation of every
+    pandas-emitting streaming operator; this test pins both the exact
+    int and the documented NaN->NULL output behavior."""
+    import math
+
+    import pandas as pd
+
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.streaming import streaming_asof
+
+    base = pd.Timestamp("2024-01-01")
+    big = 9007199254740993  # 2^53 + 1: float64 cannot represent it
+    # genuine NaN must be built JVM-side: pandas/Arrow ingestion treats
+    # a float column's NaN as the NULL sentinel
+    feat_df = spark.sql(
+        f"""SELECT * FROM VALUES
+        ('a', 0, CAST({big} AS BIGINT), CAST('NaN' AS DOUBLE),
+         TIMESTAMP '2024-01-01 00:00:00'),
+        ('b', 0, CAST(7 AS BIGINT), CAST(1.5 AS DOUBLE),
+         TIMESTAMP '2024-01-01 00:00:00')
+        AS t(conv_id, turn_idx, big, nanv, ts)"""
+    )
+    probes = pd.DataFrame(
+        {
+            "conv_id": ["a", "b"],
+            "probe_ts": pd.Series(
+                [base + pd.Timedelta(minutes=5)] * 2
+            ).astype("datetime64[us]"),
+        }
+    )
+    fsrc = tmp_path / "f"; psrc = tmp_path / "p"
+    psrc.mkdir()
+    feat_df.coalesce(1).write.parquet(str(fsrc))
+    probes.to_parquet(psrc / "b2.parquet")
+    import glob
+    import os
+    # pin file order: features strictly before probes
+    for fp in glob.glob(str(fsrc / "*.parquet")):
+        os.utime(fp, (1, 1))
+
+    out = tmp_path / "out"
+    q = (
+        streaming_asof(
+            spark.readStream.schema(
+                spark.read.parquet(str(fsrc)).schema
+            ).option("maxFilesPerTrigger", "1").parquet(str(fsrc)),
+            spark.readStream.schema(
+                spark.read.parquet(str(psrc)).schema
+            ).option("maxFilesPerTrigger", "1").parquet(str(psrc)),
+            value_cols=("big", "nanv"),
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.conv_id: (r.asof_big, r.asof_nanv) for r in spark.read.parquet(str(out)).collect()}
+    want = {
+        r.conv_id: (r.asof_big, r.asof_nanv)
+        for r in asof_join(
+            feat_df, spark.createDataFrame(probes),
+            value_cols=("big", "nanv"),
+        ).collect()
+    }
+    assert want["a"][0] == big and math.isnan(want["a"][1])
+    assert got["a"][0] == big, got["a"]          # exact, not 2^53
+    # batch serves NaN; the streaming OUTPUT boundary collapses it to
+    # NULL (pandas float NaN == null sentinel) — documented limitation
+    assert got["a"][1] is None, got["a"]
+    assert got["b"] == want["b"] == (7, 1.5)
