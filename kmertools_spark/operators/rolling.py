@@ -51,16 +51,17 @@ def _carry_blocks(df: DataFrame, chunk: int, n_turns: int) -> DataFrame:
 
     rn = F.row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx")) - 1
     df = df.withColumn("__rn", rn)
-    blk = (F.col("__rn") / chunk).cast("long")
-    in_carry = (F.col("__rn") % chunk) >= chunk - (n_turns - 1)
-    blocks = (
-        F.when(in_carry, F.array(blk, blk + 1)).otherwise(F.array(blk))
-        if n_turns > 1
-        else F.array(blk)
-    )
+    blk = F.expr(f"__rn div {chunk}")
+    # row rn is needed by every block whose first row reaches back to it:
+    # blocks blk .. (rn + n_turns - 1) div chunk. For n_turns - 1 <=
+    # chunk this is the classic next-block carry; for windows WIDER than
+    # a chunk it replicates as many blocks ahead as the window needs
+    # (code-review r4: the two-block special case silently truncated
+    # windows when n_turns - 1 > chunk)
+    last_needed = F.expr(f"(__rn + {n_turns - 1}) div {chunk}")
     return (
         df.withColumn("__own", blk)
-        .withColumn("__blk", F.explode(blocks))
+        .withColumn("__blk", F.explode(F.sequence(blk, last_needed)))
         .withColumn("__emit", F.col("__own") == F.col("__blk"))
         .drop("__own", "__rn")
     )
@@ -276,9 +277,16 @@ def backfill_features_stream(
     bounded memory footprint regardless of conversation length (the
     skew answer for the rolling window: a 10^6-turn conversation costs
     one task time-wise but never more than one batch memory-wise).
-    """
-    from .timeutil import epoch_ms
+    
 
+    Ordering contract (code-review r4): the kernel sorts by (conv_id,
+    turn_idx) and computes session gaps in TURN order, while the SQL
+    sessionize path orders by (ts, turn_idx) — identical whenever ts is
+    non-decreasing in turn_idx within a conversation (guaranteed by the
+    transcript derivation and asserted by the q38 oracle); out-of-order
+    producer clocks are outside the contract and should be repaired
+    upstream before backfill.
+    """
     if mode not in ("turns", "time"):
         raise ValueError(f"mode must be 'turns' or 'time', got {mode!r}")
     # sessionization happens IN-KERNEL over the same sorted stream (gap
@@ -305,9 +313,14 @@ def backfill_features_stream(
 
     horizon_ms = int(time_seconds * 1000)
 
+    _NO_CARRY = object()  # distinguishes "no carry yet" from a carry
+    # for the NULL conv_id group (str(None) == 'None' used to collide
+    # with both, restarting NULL-group windows at every batch boundary
+    # and colliding with a literal 'None' key — code-review r4)
+
     def gen(batches):
         pos_map, _, kcount = _pos_map(k)
-        carry_conv: str | None = None
+        carry_conv = _NO_CARRY
         carry_counts = np.zeros((0, kcount))
         carry_ts_arr = np.zeros(0, dtype=np.int64)  # time mode: ts of carried rows
         carry_ts: int = 0
@@ -321,7 +334,7 @@ def backfill_features_stream(
                 pdf["text"].tolist(), k, canonical=True, norm=False,
                 pos_map=pos_map, kcount=kcount,
             )
-            carried = carry_conv is not None and conv[0] == carry_conv
+            carried = carry_conv is not _NO_CARRY and conv[0] == carry_conv
             cc = carry_counts if carried else np.zeros((0, kcount))
             m = cc.shape[0]
             full = np.vstack([cc, counts]) if m else counts
@@ -337,6 +350,14 @@ def backfill_features_stream(
             )
             idx = np.arange(B) + m
             if need_ts:
+                if pdf["__ts_ms"].isna().any():
+                    raise ValueError(
+                        "backfill_features_stream: NULL ts encountered — "
+                        "to_numpy(int64) would silently turn it into "
+                        "INT64_MIN and corrupt session/time windows; drop "
+                        "or impute NULL-ts rows upstream (the SQL "
+                        "sessionize path defines their semantics)"
+                    )
                 ts = pdf["__ts_ms"].to_numpy(dtype=np.int64)
             if mode == "turns":
                 lo = np.maximum(seg_starts_full[seg_of_row], idx - (n_turns - 1))
@@ -389,7 +410,7 @@ def backfill_features_stream(
 
             # carry: last conversation's trailing window context
             last_rows = full.shape[0] - int(seg_starts_full[-1])
-            carry_conv = str(conv[-1])
+            carry_conv = conv[-1]
             if mode == "turns":
                 take = min(n_turns - 1, last_rows)
             else:
@@ -463,8 +484,6 @@ def backfill_features_auto(
     (conversations longer than hot_threshold); a corpus where MOST keys
     are hot wants backfill_features(chunk=...) outright.
     """
-    from pyspark.sql import functions as F
-
     if hot_ids is None:
         hot_ids = [
             r[0]

@@ -100,6 +100,16 @@ def cosine_topk_gemm(
     instead of a driver OOM (r2 VERDICT item 3): the collect is bounded
     by limit(max+1), so an oversized query set fails fast having pulled
     at most max+1 rows.
+
+    Degenerate-input notes (code-review r4): a zero-norm corpus vector
+    gets cos=0.0 here (clamped denominator) where the HOF plan's
+    division yields NULL (ranked last), and NaN-containing vectors are
+    dropped here (isfinite cut) where Spark sorts NaN first — the two
+    plans agree on all finite nonzero embeddings (the gate corpus), and
+    neither degenerate ranking is meaningful. The query broadcast lives
+    until the returned DataFrame is garbage-collected (ContextCleaner
+    reclaims it with the plan); callers looping over many query sets
+    should not retain the results.
     """
     qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
     if len(qrows) > max_query_rows:
@@ -378,7 +388,12 @@ def ann_topk_ivf(
             _dot(F.col(f"q.{vec_col}"), F.col(f"c.{vec_col}"))
             / (F.col("q.__norm") * F.col("c.__norm"))
         ).alias("cos"),
-    ).distinct()
+    )
+    # no distinct: each corpus row has exactly one list_id and
+    # probe_lists yields n_probe DISTINCT lists per query, so a
+    # (query, corpus) pair matches at most once — the old distinct()
+    # was a full extra shuffle of the largest intermediate for nothing
+    # (code-review r4)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -399,6 +414,7 @@ def cosine_neardup_lsh(
     n_tables: int = 4,
     seed: int = ANN_SEED,
     planes: str = "gauss",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: multi-table hyperplane LSH candidates
     + exact cosine verify within candidates.
@@ -411,6 +427,17 @@ def cosine_neardup_lsh(
     verified with the exact rounded-cosine cut, so precision is exact;
     only recall is approximate (tested against the exact block-GEMM).
     For exhaustive exact output use cosine_neardup_pairs.
+
+    ``max_bucket`` is the hot-bucket cap (code-review r4 — the same
+    star-edge mechanism as dedup.lsh_candidate_pairs): a flooded
+    (table, bucket) — boilerplate embeddings, or all-zero vectors,
+    which collide in EVERY table — would emit O(size^2) candidates;
+    capped buckets emit star edges to the bucket minimum instead,
+    linear in size. Same caveat as the text cap: star candidates still
+    pass the exact cosine verify, so a member near the bucket but not
+    near its minimum can lose an edge all-pairs banding would keep —
+    connectivity-oriented callers (embedding_dedup_keep) accept this;
+    the exact gate (q45) pins max_bucket=None.
     """
     tables = []
     for t in range(n_tables):
@@ -430,6 +457,20 @@ def cosine_neardup_lsh(
     banded = tables[0]
     for t in tables[1:]:
         banded = banded.unionByName(t)
+
+    star = None
+    if max_bucket is not None:
+        w = Window.partitionBy("table", "bucket")
+        sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__min", F.min(id_col).over(w)
+        )
+        star = sized.where(
+            (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min"))
+        ).select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+        banded = sized.where(F.col("__n") <= max_bucket).select(
+            "table", id_col, "bucket"
+        )
+
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -444,8 +485,10 @@ def cosine_neardup_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     va = with_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
@@ -594,6 +637,7 @@ def embedding_dedup_keep(
     n_tables: int = 4,
     seed: int = ANN_SEED,
     planes: str = "gauss",
+    max_bucket: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The embedding twin of operators.dedup.dedup_keep: multi-table
@@ -620,6 +664,7 @@ def embedding_dedup_keep(
         n_tables=n_tables,
         seed=seed,
         planes=planes,
+        max_bucket=max_bucket,
     ).select("id_a", "id_b")
     clusters = dedup_clusters(
         pairs, df.select(id_col), id_col, checkpoint_dir=checkpoint_dir

@@ -463,3 +463,39 @@ def test_stratified_sample_deterministic_and_monotone(spark):
         ).collect()
     }
     assert got < more
+
+
+def test_cosine_neardup_lsh_max_bucket_star(spark):
+    """code-review r4: the embedding LSH banding gets the same
+    hot-bucket star cap as the text banding — a flooded bucket emits
+    linear star candidates, uncapped emits all pairs; connectivity of
+    the VERIFIED graph is preserved for identical vectors."""
+    import numpy as np
+
+    from kmertools_spark.operators import cosine_neardup_lsh
+
+    # 20 identical vectors (one flooded bucket in every table) + noise
+    rng = np.random.RandomState(3)
+    rows = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(20)]
+    rows += [(100 + i, rng.standard_normal(4).tolist()) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = cosine_neardup_lsh(
+        emb, 4, threshold=0.99, planes="hash", max_bucket=4
+    ).collect()
+    uncapped = cosine_neardup_lsh(
+        emb, 4, threshold=0.99, planes="hash"
+    ).collect()
+    # star cap: linear candidate count for the flood, all edges touch 0
+    star_pairs = {(r.id_a, r.id_b) for r in capped if r.id_a < 20 and r.id_b < 20}
+    assert star_pairs == {(0, i) for i in range(1, 20)}
+    # uncapped keeps the quadratic pair set
+    full_pairs = {(r.id_a, r.id_b) for r in uncapped if r.id_a < 20 and r.id_b < 20}
+    assert len(full_pairs) == 19 * 20 // 2
+    # connectivity: every flooded member reachable from the minimum
+    import itertools
+    reach = {0}
+    for _ in range(3):
+        for a, b in star_pairs:
+            if a in reach or b in reach:
+                reach |= {a, b}
+    assert reach == set(range(20))

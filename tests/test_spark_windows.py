@@ -557,3 +557,21 @@ def test_asof_bucketed_sub_millisecond_carry(spark):
     got_a = norm(asof_join_auto(feat, probes, hot_threshold=1, n_buckets=4))
     assert got_b == want
     assert got_a == want
+
+
+def test_rolling_chunked_window_wider_than_chunk(spark, tdf):
+    """code-review r4: a window WIDER than the chunk (n_turns - 1 >
+    chunk) must replicate carry rows as many blocks ahead as the window
+    needs — the old two-block special case silently truncated it."""
+    df, _ = tdf
+    wide = rolling_turn_vectors(df, k=4, n_turns=8, chunk=4, norm=False)
+    ref = rolling_turn_vectors(df, k=4, n_turns=8, chunk=None, norm=False)
+
+    def key(d):
+        p = d.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        return p
+
+    a, b = key(wide), key(ref)
+    assert len(a) == len(b)
+    assert (a["conv_id"] == b["conv_id"]).all()
+    assert np.allclose(np.vstack(a["vec"]), np.vstack(b["vec"]), rtol=1e-12)
