@@ -147,6 +147,16 @@ def _coverage_features_join(
             "__h", F.transform("__h", lambda x: x / F.greatest(F.lit(1.0), total))
         )
     zero = F.array(*[F.lit(0.0) for _ in range(bin_count)])
-    return df.join(hist, list(keys), "left").withColumn(
-        out_col, F.coalesce(F.col("__h"), zero)
-    ).drop("__h")
+    # null-SAFE key equality: groupBy aggregates NULL keys into a real
+    # group, but a plain equi-join would never match it back, silently
+    # handing NULL-key rows the zero vector where the broadcast
+    # strategy computes the true histogram (code-review r4)
+    d = df.alias("d")
+    h = hist.alias("h")
+    cond = [F.col(f"d.{c}").eqNullSafe(F.col(f"h.{c}")) for c in keys]
+    return (
+        d.join(h, cond, "left")
+        .select("d.*", F.col("h.__h").alias("__h"))
+        .withColumn(out_col, F.coalesce(F.col("__h"), zero))
+        .drop("__h")
+    )

@@ -16,8 +16,15 @@ from .timeutil import epoch_ms
 TURN_ORDER = ("turn_idx",)
 
 
-def _conv_window(order_by=("ts", "turn_idx")):
-    return Window.partitionBy("conv_id").orderBy(*order_by)
+def _conv_window():
+    # asc_nulls_last on ts: Spark's default is NULLS FIRST while the
+    # DuckDB oracle's identical ORDER BY defaults to NULLS LAST — NULL
+    # ts rows would shift session_seq/lag for every later turn on the
+    # Spark side only (code-review r4; no NULL ts exists in the driver
+    # derivation, so gate hashes are unchanged)
+    return Window.partitionBy("conv_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("turn_idx")
+    )
 
 
 def sessionize(

@@ -27,13 +27,24 @@ def streaming_sessionize(
 
     Uses Spark's native session_window (gap-based, event time) with a
     watermark for late data — semantics match batch sessionize for data
-    arriving within the watermark.
+    arriving within the watermark. Gap handling (code-review r4): the
+    gap is applied at MILLISECOND precision — int() used to truncate
+    fractional seconds, and gap_seconds=0.5 became the rejected
+    "0 seconds". session_window's merge rule is inclusive (windows
+    merge when diff <= gap, verified empirically), which matches batch
+    sessionize's strict `diff > gap` split exactly.
     """
+    gap_ms = int(gap_seconds * 1000)
+    if gap_ms <= 0:
+        raise ValueError(f"gap_seconds must be >= 1ms, got {gap_seconds}")
     return (
-        stream.withWatermark("ts", watermark)
+        # withWatermark requires TIMESTAMP; driver parquet event time is
+        # TIMESTAMP_NTZ (exact under the engine's session TZ=UTC pin)
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(
             F.col("conv_id"),
-            F.session_window("ts", f"{int(gap_seconds)} seconds").alias("win"),
+            F.session_window("ts", f"{gap_ms} milliseconds").alias("win"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
@@ -49,10 +60,13 @@ def streaming_sessionize(
     )
 
 
-def streaming_kmer_counts(
-    stream: DataFrame, k: int = 4, watermark: str = "1 hour"
-) -> DataFrame:
-    """Incremental canonical k-mer counts (update-mode aggregation)."""
+def streaming_kmer_counts(stream: DataFrame, k: int = 4) -> DataFrame:
+    """Incremental canonical k-mer counts (update-mode aggregation).
+
+    Deliberately UNwatermarked: global counts aggregate forever and the
+    state is O(distinct k-mers) — bounded by 4^k, not by time — so a
+    watermark would bound nothing (the old dead ``watermark`` parameter
+    advertised a state bound that did not exist; code-review r4)."""
     from ..functions.kmers import kmer_count_pairs
 
     pairs = kmer_count_pairs(stream, k=k)
@@ -69,12 +83,20 @@ def streaming_exact_dedup(
     """Streaming exact dedup: first-seen document per sha256 digest.
 
     The incremental form of operators.dedup.exact_dedup(digest=True):
-    dropDuplicates on the digest keeps the FIRST arrival of each
-    distinct text; the watermark bounds the digest state store (a doc
-    repeated later than the watermark re-emits — at 100 TB/day pick the
-    watermark to the dedup horizon the pipeline contracts). The state
-    key is the 32-byte digest, never the document, so state size is
-    O(distinct) regardless of text length.
+    dropDuplicates on the digest keeps one row per distinct text; the
+    watermark bounds the digest state store (a doc repeated later than
+    the watermark re-emits — at 100 TB/day pick the watermark to the
+    dedup horizon the pipeline contracts). The state key is the 32-byte
+    digest, never the document, so state size is O(distinct) regardless
+    of text length.
+
+    Keep-choice contract (code-review r4): across micro-batches the
+    FIRST-arriving batch's row wins (state blocks later ones); WITHIN a
+    micro-batch the survivor among duplicates is whichever row the
+    tasks process first — arbitrary, unlike batch exact_dedup's
+    deterministic min(id). Pipelines that need the batch keep rule
+    should treat this stream as a candidate filter and resolve keeps
+    with the batch operator at the compaction boundary.
     """
     # withWatermark requires TIMESTAMP; parquet event time often arrives
     # as TIMESTAMP_NTZ (reinterpretation is exact under the engine's

@@ -241,3 +241,67 @@ def test_audio_features_python_oracle_and_batch_independence(spark):
         and np.allclose(got1[k][2], got[k][2], atol=1e-12)
         for k in got
     )
+
+
+def test_streaming_sessionize_ntz_and_exact_gap_boundary(spark, tmp_path):
+    """code-review r4: streaming_sessionize must accept a TIMESTAMP_NTZ
+    source (cast before withWatermark) and must MERGE two events exactly
+    gap_seconds apart, matching batch sessionize's strict `diff > gap`
+    rule (raw session_window splits at diff == gap)."""
+    import pandas as pd
+
+    from kmertools_spark.operators import sessionize
+    from kmertools_spark.streaming import streaming_sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0, 1, 2],
+            "text": ["aa", "bb", "cc"],
+            # gaps: exactly 1800s (merge), 1800.001s (split)
+            "ts": [
+                base,
+                base + pd.Timedelta(seconds=1800),
+                base + pd.Timedelta(seconds=3600, milliseconds=1),
+            ],
+        }
+    )
+    # flush row: advances the watermark past conv c's sessions so the
+    # append-mode aggregation finalizes and emits them
+    pdf = pd.concat(
+        [
+            pdf,
+            pd.DataFrame(
+                {
+                    "conv_id": ["flush"],
+                    "turn_idx": [0],
+                    "text": ["zz"],
+                    "ts": [base + pd.Timedelta(days=2)],
+                }
+            ),
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # NTZ in parquet
+    src = tmp_path / "in"; src.mkdir()
+    pdf.to_parquet(src / "b.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    assert "timestamp_ntz" in schema["ts"].dataType.typeName()
+    out = tmp_path / "out"
+    q = (
+        streaming_sessionize(
+            spark.readStream.schema(schema).parquet(str(src)), gap_seconds=1800
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r for r in spark.read.parquet(str(out)).collect() if r.conv_id == "c"]
+    # batch rule: turns 0,1 one session (diff == gap merges); turn 2 new
+    assert sorted(r.n_turns for r in got) == [1, 2]
+    batch = sessionize(spark.createDataFrame(pdf)).select("turn_idx", "session_seq").collect()
+    assert {r.turn_idx: r.session_seq for r in batch} == {0: 0, 1: 0, 2: 1}

@@ -250,3 +250,34 @@ def test_normalize_text_and_repetition_ratio(spark):
             assert abs(got.loc[i, "rep"] - want) < 1e-12, (i, t)
     # the repetitive text scores far below the unique one
     assert got.loc[2, "rep"] < 0.1 < 0.9 < got.loc[3, "rep"]
+
+
+def test_coverage_join_null_key_matches_broadcast(spark):
+    """code-review r4: a NULL-key row must get its TRUE histogram from
+    the join strategy (null-safe join-back), not the zero vector —
+    identical to the broadcast strategy."""
+    import pandas as pd
+
+    from kmertools_spark.operators import coverage_features, global_kmer_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [None, "c1", "c1"],
+                "turn_idx": [0, 0, 1],
+                "text": ["ACGTACGTACGT", "ACGTACGTACGT", "TTTTACGT"],
+            }
+        ).astype({"turn_idx": "int32"})
+    )
+    counts = global_kmer_counts(df, k=4)
+    kw = dict(k=4, bin_size=2, bin_count=4, norm=False)
+    b = {
+        (r.conv_id, r.turn_idx): list(r.cov_vec)
+        for r in coverage_features(df, counts, strategy="broadcast", **kw).collect()
+    }
+    j = {
+        (r.conv_id, r.turn_idx): list(r.cov_vec)
+        for r in coverage_features(df, counts, strategy="join", **kw).collect()
+    }
+    assert b == j
+    assert sum(b[(None, 0)]) > 0  # the NULL-key row has a real histogram
