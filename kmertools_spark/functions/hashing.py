@@ -44,3 +44,25 @@ def doc_fingerprint(width: int = 16):
         return pd.Series(fingerprint_batch(texts.tolist(), width), dtype="Int64")
 
     return _udf
+
+
+def band_key_struct(bands: int, r: int):
+    """Exploded (band, key) structs over a ``sig`` column — the ONE
+    band fold shared by batch lsh_candidate_pairs and
+    streaming_lsh_candidates. Bit-identical buckets between the two are
+    a documented contract (a batch replay must reproduce the streaming
+    buckets), so the fold lives in exactly one place (code-review r4).
+    """
+    from pyspark.sql import functions as F
+
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.concat_ws(
+                    "_", F.slice("sig", b * r + 1, r).cast("array<string>")
+                ).alias("key"),
+            ),
+        )
+    )

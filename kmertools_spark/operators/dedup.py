@@ -79,20 +79,11 @@ def lsh_candidate_pairs(
     pair count becomes linear in bucket size. None (default) keeps the
     exact all-pairs-per-bucket semantics the gate query checks.
     """
+    from ..functions.hashing import band_key_struct
+
     r = rows_per_band or N_PERMS // bands
     banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "_", F.slice("sig", b * r + 1, r).cast("array<string>")
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
+        F.col(id_col), band_key_struct(bands, r).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
 
     star = None
@@ -257,6 +248,19 @@ def dedup_clusters(
             break
     if _stats is not None:
         _stats["rounds"] = rounds
+        _stats["converged"] = changed == 0
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: label propagation exhausted max_iter="
+            f"{max_iter} with {changed} labels still changing — a "
+            "component wider than 2^max_iter hops is only partially "
+            "merged and more than one keep=True row may survive inside "
+            "it; raise max_iter (rounds are O(log diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # the final labels are (local)checkpointed, so their lineage no
     # longer reaches these caches — release executor memory now
     edges.unpersist()
@@ -428,7 +432,12 @@ def _jaccard_for_pairs_cached(
     ga = grams.select(F.col(id_col).alias("id_a"), "gram")
     gb = grams.select(F.col(id_col).alias("id_b"), "gram")
     inter = (
+        # distinct: a pair supplied twice (streaming LSH emits once per
+        # COLLIDING BAND and documents that the verify is idempotent)
+        # would double the intersection count and inflate Jaccard past
+        # its true value — potentially past 1.0 (code-review r4)
         pairs.select("id_a", "id_b")
+        .distinct()
         .join(ga, "id_a")
         .join(gb, ["id_b", "gram"])
         .groupBy("id_a", "id_b")

@@ -92,6 +92,11 @@ def pack_documents(
     """
     if order not in ("hash", "id"):
         raise ValueError(f"order must be 'hash' or 'id', got {order!r}")
+    if int(capacity) < 1:
+        # capacity=0 would run the whole upstream pipeline and then
+        # silently explode to ZERO rows (div 0 -> NULL -> sequence NULL
+        # -> explode drops) — fail before the expensive stages
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
     if checkpoint not in ("local", "reliable", "none"):
         raise ValueError(f"checkpoint must be local|reliable|none, got {checkpoint!r}")
     spark = df.sparkSession
@@ -122,11 +127,16 @@ def pack_documents(
         lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
         if lo is None:  # empty / all-zero-token input
             lo, hi = 0, 0
-        span = max(1, int(hi) - int(lo) + 1)
-        # double math: (id - lo) * P could overflow int64 for extreme ids
+        span = max(1.0, float(hi) - float(lo) + 1.0)
+        # double math THROUGHOUT: for ids spanning more than +-2^62 the
+        # int64 SUBTRACTION (id - lo) itself wraps before any cast
+        # (code-review r4) — cast the operand first; double precision
+        # only coarsens the partition boundaries, and the kernel sorts
+        # by __ord within partitions, so monotonicity (the CLAUDE.md
+        # prefix-sum invariant) is preserved
         keyed = base.withColumn("__ord", F.col("doc_id")).withColumn(
             "__part",
-            ((F.col("__ord") - int(lo)).cast("double") * P / span).cast("int"),
+            ((F.col("__ord").cast("double") - float(lo)) * P / span).cast("int"),
         )
 
     # tiny job: P per-partition token sums -> exclusive prefix offsets

@@ -36,9 +36,9 @@ def sample_gate(id_col: Column, pct: float) -> Column:
     """Boolean column: deterministic ``pct``-fraction membership.
 
     gate(id) = ((A*(id mod P) + B) mod P) < pct * P over the engine's
-    shared hash constants; exact int64 for all int64 ids. (The SQL twin
-    uses `%`, which matches pmod for non-negative ids; negative ids
-    hash fine on the Spark side but are outside the oracle contract.)
+    shared hash constants; exact int64 for all int64 ids — the SQL twin
+    folds with ((id % P + P) % P), matching Spark's pmod for NEGATIVE
+    ids too (code-review r4; `%` alone is sign-preserving in DuckDB).
     """
     return _hash_col(id_col) < F.lit(int(pct * MOD))
 
@@ -62,9 +62,10 @@ def sample_slice(df: DataFrame, id_col: str, lo: float, hi: float) -> DataFrame:
 
 
 def sample_sql_gate(id_expr: str, pct: float) -> str:
-    """The DuckDB twin of sample_gate (same constants, same math)."""
+    """The DuckDB twin of sample_gate (same constants, same math;
+    pmod-safe fold so negative ids agree with Spark's pmod)."""
     return (
-        f"(({SAMPLE_A} * (({id_expr}) % {MOD}) + {SAMPLE_B}) % {MOD})"
+        f"(({SAMPLE_A} * ((({id_expr}) % {MOD} + {MOD}) % {MOD}) + {SAMPLE_B}) % {MOD})"
         f" < {int(pct * MOD)}"
     )
 

@@ -380,7 +380,7 @@ hits AS (
 ),
 lng AS (SELECT doc_id, {lang_case} AS lang FROM hits)
 SELECT doc_id, lang FROM lng
-WHERE (({_sa} * (doc_id % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
+WHERE (({_sa} * ((doc_id % {MOD} + {MOD}) % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
 
     # q52: the capstone composition — normalize -> quality/repetition/
     # token filters -> per-language stratified sampling -> deterministic
@@ -439,7 +439,7 @@ keep AS (
   SELECT f.doc_id, f.n_tok
   FROM feat f JOIN rep r ON r.doc_id = f.doc_id
   WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
-    AND (({_sa} * (f.doc_id % {MOD}) + {_sb}) % {MOD})
+    AND (({_sa} * ((f.doc_id % {MOD} + {MOD}) % {MOD}) + {_sb}) % {MOD})
         < CASE f.lang WHEN 'en' THEN {int(0.8 * MOD)} ELSE {int(0.3 * MOD)} END
 ),
 off AS (
@@ -447,7 +447,7 @@ off AS (
     CAST(COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
   FROM (SELECT keep.*,
-               (({_PKA} * (doc_id % {MOD}) + {_PKB}) % {MOD}) AS h
+               (({_PKA} * ((doc_id % {MOD} + {MOD}) % {MOD}) + {_PKB}) % {MOD}) AS h
         FROM keep) _
 ),
 ex AS (
@@ -519,7 +519,7 @@ WITH {_prep_ctes}
 SELECT f.doc_id, f.n_tok, f.q, r.rep, f.lang
 FROM feat f JOIN rep r ON r.doc_id = f.doc_id
 WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
-  AND (({_sa} * (f.doc_id % {MOD}) + {_sb}) % {MOD})
+  AND (({_sa} * ((f.doc_id % {MOD} + {MOD}) % {MOD}) + {_sb}) % {MOD})
       < CASE f.lang WHEN 'en' THEN {int(0.8 * MOD)} ELSE {int(0.3 * MOD)} END"""
 
     # q48: portable-regex normalizer (no \\s — Java and RE2 disagree on
@@ -811,7 +811,7 @@ WITH tk AS (
     CAST(CASE WHEN length(text) = 0 THEN 0
          ELSE (length(text) - length(replace(text, ' ', ''))) + 1
          END AS BIGINT) AS tok,
-    (({PACK_A} * (doc_id % {MOD}) + {PACK_B}) % {MOD}) AS h
+    (({PACK_A} * ((doc_id % {MOD} + {MOD}) % {MOD}) + {PACK_B}) % {MOD}) AS h
   FROM documents
 ),
 off AS (
@@ -914,7 +914,7 @@ cand AS (
 WITH {_qdim_cte()},
 hv AS (
   SELECT vec_id,
-    (({CENT_A} * (vec_id % {MOD})) % {MOD} + {CENT_B}) % {MOD} AS h
+    (({CENT_A} * ((vec_id % {MOD} + {MOD}) % {MOD})) % {MOD} + {CENT_B}) % {MOD} AS h
   FROM embeddings
 ),
 cent AS (

@@ -104,20 +104,10 @@ def streaming_lsh_candidates(
         )
         .where(F.col("sig").isNotNull())
     )
+    from ..functions.hashing import band_key_struct
+
     banded = sigs.select(
-        "doc_id",
-        "ts",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "_", F.slice("sig", b * r + 1, r).cast("array<string>")
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
+        "doc_id", "ts", band_key_struct(bands, r).alias("bk")
     ).select("doc_id", "ts", "bk.band", "bk.key")
 
     def fn(key, pdfs, state: GroupState):
@@ -160,7 +150,13 @@ def streaming_lsh_candidates(
                 seen.add(doc)
                 min_id = doc if min_id is None else min(min_id, doc)
         state.update((members, min_id, int(last_ts)))
-        state.setTimeoutTimestamp(int(last_ts) + state_horizon_ms)
+        # clamp above the current watermark: a bucket whose horizon
+        # already passed (idle bucket receiving a late straggler while
+        # OTHER buckets advanced the watermark) would otherwise set an
+        # illegal timeout and kill the query (same hazard fixed in
+        # streaming_asof, code-review r4)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(last_ts) + state_horizon_ms, wm + 1))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return banded.groupBy("band", "key").applyInPandasWithState(

@@ -126,6 +126,7 @@ def rolling_vectors_stream(
                 expected_next = 0
             emit, hold = [], []
             nxt = expected_next
+            prev_held = None
             for row in pool:
                 if row[0] == nxt:
                     emit.append(row)
@@ -133,6 +134,15 @@ def rolling_vectors_stream(
                 elif row[0] < nxt:
                     continue  # duplicate / already emitted: drop
                 else:
+                    # replays of a NOT-yet-emittable turn must not
+                    # accumulate: an at-least-once source re-sending one
+                    # held row each batch would inflate state toward
+                    # max_pending and trigger premature gap abandonment
+                    # (code-review r4); pool is sorted, so equal keys
+                    # are adjacent — keep the first
+                    if prev_held is not None and row[0] == prev_held:
+                        continue
+                    prev_held = row[0]
                     hold.append(row)
             if len(hold) > max_pending:
                 # abandon the oldest gap: jump to the smallest buffered turn
@@ -213,7 +223,11 @@ def rolling_vectors_stream(
         )
 
     return (
-        stream.groupBy("conv_id")
+        # select before the Python boundary: the stateful exchange and
+        # per-batch Arrow transfer otherwise carry every extra input
+        # column forever (CLAUDE.md pruning rule; code-review r4)
+        stream.select("conv_id", "turn_idx", "text", "ts")
+        .groupBy("conv_id")
         .applyInPandasWithState(
             fn,
             outputStructType=_OUT,
