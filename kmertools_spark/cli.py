@@ -85,6 +85,16 @@ def cmd_comp_cgr(a) -> int:
     from .oracle.codec import kmer_pos_maps, numeric_to_kmer
     from .oracle.kernels import cgr_batch, cgr_trajectory, composition_matrix
 
+    # validate BEFORE open(): the reference rejects these without
+    # touching the output file — open-first truncated a pre-existing
+    # output on the error path (code-review r4); clap range parity for
+    # k (args.rs:120 3..=7)
+    if a.k_size is not None and not (3 <= a.k_size <= 7):
+        print("error: k_size must be in 3..=7", file=sys.stderr)
+        return 2
+    if a.k_size is None and a.counts:
+        print("Error: cannot use counts in whole sequence CGR!", file=sys.stderr)
+        return 2
     spark = _spark()
     rows = _read(spark, a.input).orderBy("n").select("seq").collect()
     seqs = [r.seq for r in rows]
@@ -110,9 +120,6 @@ def cmd_comp_cgr(a) -> int:
                 ]
                 f.write(" ".join(items) + "\n")
         else:
-            if a.counts:
-                print("Error: cannot use counts in whole sequence CGR!", file=sys.stderr)
-                return 2
             vecsize = a.vec_size if a.vec_size is not None else 1
             for tr in cgr_batch(seqs, float(vecsize)):
                 if tr is None:
@@ -194,6 +201,11 @@ def cmd_min(a) -> int:
     if not (7 <= a.m_size <= 28):
         print("error: m_size must be in 7..=28", file=sys.stderr)
         return 2
+    if a.w_size < 0:
+        # clap parses w as u64: a negative value is a usage error, and
+        # letting it through bypassed the w>m check (code-review r4)
+        print("error: w_size must be >= 0", file=sys.stderr)
+        return 2
     if a.w_size <= a.m_size and a.w_size > 0:
         print("Window size must be longer than minimiser size!", file=sys.stderr)
         return 2
@@ -214,16 +226,19 @@ def cmd_min(a) -> int:
                 f.write(f"{key}\t[{body}]\n")
     else:  # s2m
         by_rec: dict[int, list[str]] = {}
-        ids: dict[int, str] = {}
         for r in runs:
-            ids[r.n] = r.id
             by_rec.setdefault(r.n, []).append(
                 f"{numeric_to_kmer(r.mmer, a.m_size)}:{r.win_start}-{r.win_end}"
             )
+        # one line per RECORD: the reference's seq_to_min pushes every
+        # record id unconditionally (misc/src/minimisers.rs), so a read
+        # too short for any minimiser still gets its id line
+        # (code-review r4 — zero-minimiser records were dropped)
+        recs = df.select("n", "id").orderBy("n").collect()
         with open(a.output, "w") as f:
-            for n in sorted(by_rec):
+            for rec in recs:
                 # checked-in golden has no trailing tab (expected_seq_minimisers)
-                f.write("\t".join([ids[n], *by_rec[n]]) + "\n")
+                f.write("\t".join([rec.id, *by_rec.get(rec.n, [])]) + "\n")
     return 0
 
 

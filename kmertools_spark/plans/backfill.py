@@ -24,9 +24,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-BUCKET = "__bucket"
-
-
 def bucket_of(n_buckets: int):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
@@ -88,9 +85,14 @@ class BackfillDriver:
         feat.write.mode("overwrite").parquet(out_path)
         written = df.sparkSession.read.parquet(out_path)
         rows_out = written.count()
+        # checksum over the feature output's OWN columns: feature_fn is
+        # pluggable, and hardcoding (conv_id, turn_idx) crashed AFTER
+        # the expensive write but BEFORE the manifest commit for any
+        # schema without them — every resume then re-wrote and
+        # re-crashed (code-review r4)
         checksum = written.select(
-            F.expr("bit_xor(xxhash64(conv_id, turn_idx))").alias("h")
-        ).first()["h"]
+            F.xxhash64(*written.columns).alias("__h")
+        ).agg(F.expr("bit_xor(__h)").alias("h")).first()["h"]
         entry = {
             "bucket": bucket,
             "rows_in": rows_in,
@@ -108,7 +110,10 @@ class BackfillDriver:
         """Process pending buckets (optionally capped, for kill/resume
         testing). Returns the manifest entries written this call."""
         done = []
-        for b in self.pending()[: (max_buckets or self.n_buckets)]:
+        cap = self.n_buckets if max_buckets is None else max_buckets
+        # not `or`: max_buckets=0 means "process none" (the kill/resume
+        # harness's no-op probe), not "process all" (code-review r4)
+        for b in self.pending()[:cap]:
             done.append(self.run_bucket(df, b))
         return done
 
@@ -121,4 +126,5 @@ class BackfillDriver:
         )
 
     def metrics(self) -> list[dict]:
-        return [self.committed()[b] for b in sorted(self.committed())]
+        done = self.committed()  # one manifest scan, not O(n^2)
+        return [done[b] for b in sorted(done)]

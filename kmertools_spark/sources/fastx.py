@@ -74,10 +74,16 @@ def read_fastx(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
                 header = f.readline()
                 if not header:
                     break
+                hs = header.strip()
                 seq = f.readline().strip()
                 f.readline()  # +
                 f.readline()  # quality
-                rows.append((n, header.strip()[1:].split()[0], seq))
+                if not hs and not seq:
+                    continue  # trailing blank line(s): not a record
+                toks = hs[1:].split()
+                # bare '@' header: id "" (matches the distributed reader;
+                # the old [0] indexing crashed on it — code-review r4)
+                rows.append((n, toks[0] if toks else "", seq))
                 n += 1
         else:
             n = -1
@@ -487,7 +493,6 @@ def read_fastx_distributed(
     while i < len(splits):
         fpath = splits[i][0]
         j = i
-        line0 = 0
         file_lines = 0
         while j < len(splits) and splits[j][0] == fpath:
             file_lines += cmap[j]
@@ -531,9 +536,13 @@ def read_fastx_distributed(
                             if header is None:
                                 break
                             seq = next(tail, b"")
-                        toks = header.strip()[1:].split()
+                        hs = header.strip()
+                        toks = hs[1:].split()
+                        sq = seq.strip().decode("utf-8", "replace")
+                        if not hs and not sq:
+                            continue  # trailing blank line: phantom
                         ids.append(toks[0].decode("utf-8", "replace") if toks else "")
-                        seqs.append(seq.strip().decode("utf-8", "replace"))
+                        seqs.append(sq)
                         ns.append(row.rec_base + h // 4)
                     if ns:
                         yield pd.DataFrame({"n": ns, "id": ids, "seq": seqs})
