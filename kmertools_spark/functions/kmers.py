@@ -36,6 +36,7 @@ def exploded_kmers(
             StructField("pos", LongType()),
             StructField("fwd", LongType()),
             StructField("rc", LongType()),
+            StructField("canon", LongType()),
         ]
     )
 
@@ -48,6 +49,13 @@ def exploded_kmers(
             out["pos"] = pos - starts[rows]
             out["fwd"] = f.astype(np.int64)
             out["rc"] = r.astype(np.int64)
+            # canonical min computed in the kernel's UNSIGNED dtype,
+            # then cast: at k=32 a top-bit k-mer wraps negative in
+            # int64, so a signed least(fwd, rc) downstream would pick
+            # the wrong strand — while the count table (kmer_count_pairs)
+            # takes the unsigned min, silently missing the join
+            # (code-review r4)
+            out["canon"] = np.minimum(f, r).astype(np.int64)
             yield pd.DataFrame(out)
 
     # mapInPandas is a Catalyst black box: project explicitly so column

@@ -123,8 +123,10 @@ def _coverage_features_join(
     bit-for-bit (equality-tested at both small and large k)."""
     from ..functions.kmers import exploded_kmers
 
+    # canon, not least(fwd, rc): the canonical min must be taken in the
+    # kernel's unsigned space (k=32 values wrap negative as int64)
     ex = exploded_kmers(df, text_col=text_col, k=k, keys=keys).select(
-        *keys, F.least("fwd", "rc").alias("kmer")
+        *keys, F.col("canon").alias("kmer")
     )
     binned = ex.join(counts.select("kmer", "cnt"), "kmer", "left").select(
         *keys,

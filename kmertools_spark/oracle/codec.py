@@ -101,19 +101,23 @@ def numeric_to_kmer(kmer: int, k: int) -> str:
 def kmer_to_numeric(kmer: str) -> tuple[int, int]:
     """Encode a string to (fwd, rc) packed values (kmer/src/lib.rs:36-50).
 
-    Deviation from the reference: raises ValueError on OOV characters
-    and on k > 32 (the reference silently corrupts bits on OOV; the
-    Python binding raises only on length, pybindings/src/kmer.rs:56-65).
+    EXACT parity including OOV characters (code-review r4 — the old
+    ValueError deviation broke the pykmertools drop-in contract): the
+    reference folds SEQ_NT4_TABLE's code 4 straight into the u64 bit
+    math — `(fval << 2) | 4` masked to 2k bits, and the rc code 4^3=7
+    can even carry past the 2k mask exactly as Rust's u64 arithmetic
+    does. Only the Python binding's length check raises
+    (pybindings/src/kmer.rs:56-65).
     """
     if len(kmer) > 32:
         raise ValueError("k-mer size must be <= 32")
     codes = encode_bytes(kmer.encode("utf-8"))
-    if (codes >= 4).any():
-        raise ValueError(f"invalid character in k-mer: {kmer!r}")
     fval = 0
     rval = 0
     shift = 2 * (len(kmer) - 1)
+    mask = (1 << (2 * len(kmer))) - 1
+    u64 = (1 << 64) - 1
     for c in codes:
-        fval = (fval << 2) | int(c)
-        rval = (rval >> 2) | ((int(c) ^ 3) << shift)
+        fval = ((fval << 2) | int(c)) & mask
+        rval = ((rval >> 2) | ((int(c) ^ 3) << shift)) & u64
     return fval, rval

@@ -20,7 +20,7 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
-from .codec import SEQ_NT4, kmer_pos_maps, rev_comp
+from .codec import SEQ_NT4, kmer_pos_maps
 
 __all__ = [
     "concat_codes",
@@ -31,11 +31,11 @@ __all__ = [
     "minimiser_runs",
     "minimiser_runs_batch",
     "cgr_trajectory",
+    "cgr_batch",
+    "whole_record_minimisers",
+    "kmer_minimiser_runs",
     "MINIMISER_SENTINEL",
 ]
-
-_U2 = np.uint64(2)
-_U3 = np.uint64(3)
 
 # The reference emits u64::MAX for a never-filled window at end of
 # sequence (kmer/src/minimiser.rs:159 never ran + :168-171 tail flush).

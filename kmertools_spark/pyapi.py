@@ -56,9 +56,11 @@ class OligoComputer:
         return [row.tolist() for row in mat]
 
     def get_header(self, mins: bool = True) -> list[str]:
-        if mins:
-            return [_n2k(int(v), self.ksize) for v in self._pos_kmer]
-        return [_n2k(v, self.ksize) for v in range(4**self.ksize)]
+        # delegate to the ONE header builder (code-review r4: the slot
+        # label contract was maintained in two places)
+        from .functions.composition import vector_header
+
+        return vector_header(self.ksize, canonical=mins)
 
 
 class CgrComputer:

@@ -70,12 +70,20 @@ def test_codec_roundtrip():
     assert kmer_to_numeric("ACGTT") == (0b0001101111, 0b0000011011)
 
 
-def test_codec_errors():
-    # pybindings/src/kmer.rs:56-65: ValueError for k > 32
+def test_codec_errors_and_oov_parity():
+    # pybindings/src/kmer.rs:56-65: ValueError ONLY for k > 32
     with pytest.raises(ValueError):
         kmer_to_numeric("A" * 33)
-    with pytest.raises(ValueError):
-        kmer_to_numeric("AXGT")
+    # OOV characters fold code 4 into the u64 bit math exactly like the
+    # reference (kmer/src/lib.rs:36-50) — the old ValueError deviation
+    # broke the drop-in contract (code-review r4). Values verified
+    # against an independent replication of the Rust arithmetic.
+    assert kmer_to_numeric("AXGT") == (75, 31)
+    # fwd stays under the 2k mask; the rc OOV code 7 carries past it,
+    # faithful to the unmasked Rust rval
+    f, r = kmer_to_numeric("NNNN")
+    assert f == ((((4 << 2 | 4) << 2 | 4) << 2 | 4) & 0xFF)
+    assert r > 0xFF
 
 
 def test_batch_concat_no_cross_row_windows():

@@ -281,3 +281,28 @@ def test_coverage_join_null_key_matches_broadcast(spark):
     }
     assert b == j
     assert sum(b[(None, 0)]) > 0  # the NULL-key row has a real histogram
+
+
+def test_k32_canonical_consistent_between_counts_and_explode(spark):
+    """code-review r4: at k=32 a top-bit k-mer wraps negative as int64;
+    the canonical choice must be made in UNSIGNED space on both sides —
+    the exploded `canon` column must key-match the count table exactly
+    (a signed least(fwd, rc) picked the wrong strand and missed joins)."""
+    import pandas as pd
+
+    from kmertools_spark.functions import exploded_kmers, kmer_count_pairs
+    from pyspark.sql import functions as F
+
+    # T-runs force fwd values with the top bit set at k=32
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "text": ["T" * 40 + "ACGT" * 10]})
+    )
+    counts = {r.kmer: r.cnt for r in kmer_count_pairs(df, k=32).collect()}
+    ex = exploded_kmers(df, k=32).select("canon", "fwd", "rc").collect()
+    assert ex and counts
+    assert any(r.fwd < 0 for r in ex)  # the wrap case is actually present
+    for r in ex:
+        assert r.canon in counts, (r.canon, r.fwd, r.rc)
+    # and the exploded multiset reproduces the counts exactly
+    from collections import Counter
+    assert Counter(r.canon for r in ex) == Counter(counts)
