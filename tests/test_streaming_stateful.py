@@ -633,3 +633,72 @@ def test_streaming_asof_exact_int64_and_nan_payloads(spark, tmp_path):
     # NULL (pandas float NaN == null sentinel) — documented limitation
     assert got["a"][1] is None, got["a"]
     assert got["b"] == want["b"] == (7, 1.5)
+
+
+def test_streaming_asof_checkpoint_restart(spark, tmp_path):
+    """State must survive a full query stop/start on one checkpoint
+    (the long-lived incremental job shape): probes arriving in a SECOND
+    availableNow run are served features from the FIRST run via
+    restored state, matching the batch join over the union."""
+    import pandas as pd
+
+    from kmertools_spark.operators import asof_join
+    from kmertools_spark.streaming import streaming_asof
+
+    base = pd.Timestamp("2024-01-01")
+    feat1 = pd.DataFrame(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": [3, 9],
+            "ts": pd.Series([base, base + pd.Timedelta(minutes=1)]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    probes2 = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "probe_ts": pd.Series([base + pd.Timedelta(minutes=10)] * 3).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    fsrc = tmp_path / "f"; psrc = tmp_path / "p"
+    fsrc.mkdir(); psrc.mkdir()
+    feat1.to_parquet(fsrc / "b1.parquet")
+    # run 1: features + one no-history sentinel probe (an EMPTY pandas
+    # parquet would infer a wrong conv_id type for the stream schema)
+    pd.DataFrame(
+        {
+            "conv_id": ["zz"],
+            "probe_ts": pd.Series([base]).astype("datetime64[us]"),
+        }
+    ).to_parquet(psrc / "b0.parquet")
+    fschema = spark.read.parquet(str(fsrc)).schema
+    pschema = spark.read.parquet(str(psrc)).schema
+    out = tmp_path / "out"
+
+    def run_once():
+        q = (
+            streaming_asof(
+                spark.readStream.schema(fschema).parquet(str(fsrc)),
+                spark.readStream.schema(pschema).parquet(str(psrc)),
+                value_cols=("turn_idx",),
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # run 2 (restart from checkpoint): only probes arrive
+    probes2.to_parquet(psrc / "b1.parquet")
+    run_once()
+    got = {
+        r.conv_id: r.asof_turn_idx
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {"a": 3, "b": 9, "c": None, "zz": None}
