@@ -6,7 +6,7 @@ Cluster invocation (the north rule's deployment shape):
     spark-submit --py-files dist/kmertools_spark.zip \\
         jobs/backfill_job.py \\
         --input /root/testdata/sf0.1 --output /tmp/features \\
-        --buckets 32 [--resume]
+        --buckets 32   # resume is implicit: committed buckets are skipped
 
 Reads the events table, derives transcripts, runs the checkpointed
 bucket backfill (per-partition lineage manifest; resumable), and prints
@@ -56,8 +56,10 @@ def main() -> int:
     t0 = time.time()
     done = driver.run(t)
     wall = time.time() - t0
-    metrics = driver.metrics()
-    rows = sum(e["rows_out"] for e in metrics)
+    # THIS run's output (a resume that finished 2 of 32 buckets must
+    # not report the whole table's rows against its own wall time);
+    # the full-manifest view stays available via driver.metrics()
+    rows = sum(e["rows_out"] for e in done)
     print(
         json.dumps(
             {

@@ -35,6 +35,10 @@ def main() -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--ngram", type=int, default=4)
+    # 0.4 (vs the operator/gate default 0.5) is the DELIBERATE corpus-scale
+    # default: with the hot-band cap on, star candidates verify against the
+    # bucket minimum only, and the looser threshold compensates the recall
+    # the cap trades away (code-review r4 — previously undocumented)
     ap.add_argument("--threshold", type=float, default=0.4)
     ap.add_argument("--max-bucket", type=int, default=256)
     ap.add_argument("--checkpoint-dir", default=None)
@@ -78,9 +82,11 @@ def main() -> int:
                 "input": path,
                 "output": args.output,
                 "docs": int(agg["docs"]),
-                "kept": int(agg["kept"]),
-                "clusters": int(agg["clusters"]),
-                "dup_fraction": round(1 - agg["kept"] / max(1, agg["docs"]), 6),
+                "kept": int(agg["kept"] or 0),
+                "clusters": int(agg["clusters"] or 0),
+                "dup_fraction": round(
+                    1 - (agg["kept"] or 0) / max(1, agg["docs"]), 6
+                ),
                 "wall_sec": round(wall, 3),
             }
         )

@@ -78,8 +78,10 @@ def main() -> int:
     packed.write.mode("overwrite").partitionBy("bin_bucket").parquet(args.output)
     wall = time.time() - t0
 
-    out = spark.read.parquet(args.output)
-    agg = out.agg(
+    # an all-filtered run writes only _SUCCESS: read the written frame
+    # lazily off the in-memory plan instead of re-inferring a schema
+    # from an empty dir, and NULL-guard the sums (code-review r4)
+    agg = packed.agg(
         F.countDistinct("doc_id").alias("docs"),
         F.countDistinct("bin").alias("bins"),
         F.sum("n_tok").alias("tokens"),
@@ -92,9 +94,9 @@ def main() -> int:
                 "input": path,
                 "output": args.output,
                 "docs_in": int(n_in),
-                "docs_packed": int(agg["docs"]),
-                "windows": int(agg["bins"]),
-                "tokens": int(agg["tokens"]),
+                "docs_packed": int(agg["docs"] or 0),
+                "windows": int(agg["bins"] or 0),
+                "tokens": int(agg["tokens"] or 0),
                 "capacity": args.capacity,
                 "wall_sec": round(wall, 3),
             }

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..oracle.kernels import minimiser_runs_batch, whole_record_minimisers
+from ..oracle.kernels import minimiser_runs_batch
 from .kmers import _key_fields
 
 
@@ -41,10 +41,10 @@ def exploded_minimisers(
     def gen(batches):
         for pdf in batches:
             texts = pdf[text_col].tolist()
-            if w == 0:
-                rows, vals, ss, ee = whole_record_minimisers(texts, m)
-            else:
-                rows, vals, ss, ee = minimiser_runs_batch(texts, w, m)
+            # minimiser_runs_batch owns the w==0 dispatch (kernels.py
+            # delegates to whole_record_minimisers itself) — one code
+            # path to keep in sync (code-review r4)
+            rows, vals, ss, ee = minimiser_runs_batch(texts, w, m)
             out = {kk: pdf[kk].values[rows] for kk in keys}
             out["mmer"] = vals
             out["win_start"] = ss

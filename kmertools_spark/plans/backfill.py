@@ -95,6 +95,7 @@ class BackfillDriver:
         ).agg(F.expr("bit_xor(__h)").alias("h")).first()["h"]
         entry = {
             "bucket": bucket,
+            "n_buckets": self.n_buckets,
             "rows_in": rows_in,
             "rows_out": rows_out,
             "checksum": int(checksum or 0),
@@ -109,6 +110,18 @@ class BackfillDriver:
     ) -> list[dict]:
         """Process pending buckets (optionally capped, for kill/resume
         testing). Returns the manifest entries written this call."""
+        # refuse to resume under a different modulus: committed entries
+        # were bucketed with pmod(xxhash64, old_n) — treating them as
+        # done under a new modulus duplicates or drops conversations
+        # (code-review r4; entries predating the n_buckets field pass)
+        for e in self.committed().values():
+            if e.get("n_buckets", self.n_buckets) != self.n_buckets:
+                raise ValueError(
+                    f"BackfillDriver: manifest at {self.manifest_dir} was "
+                    f"written with n_buckets={e.get('n_buckets')}; this "
+                    f"driver has n_buckets={self.n_buckets} — use the "
+                    "original value or start a fresh output dir"
+                )
         done = []
         cap = self.n_buckets if max_buckets is None else max_buckets
         # not `or`: max_buckets=0 means "process none" (the kill/resume

@@ -31,21 +31,39 @@ def write_feature_table(
     scan); within partitions rows are sorted by (conv_id, turn_idx) —
     the deterministic-order invariant (O2) via sort, not mmap offsets.
     """
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_kt_meta.json")
+    if mode == "append" and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f).get("n_buckets")
+        if existing != n_buckets:
+            # appending under a different modulus would leave old rows
+            # laid out under the old buckets while the meta claims the
+            # new one — conv_id probes would silently miss them
+            # (code-review r4)
+            raise ValueError(
+                f"write_feature_table: table at {path} was written with "
+                f"n_buckets={existing}; appending with n_buckets="
+                f"{n_buckets} would break conv_id bucket pruning"
+            )
     out = (
         df.withColumn(DAY_COL, F.to_date(F.col(ts_col)))
         .withColumn(
             BUCKET_COL, F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
         )
         .repartition(F.col(DAY_COL), F.col(BUCKET_COL))
-        .sortWithinPartitions("conv_id", "turn_idx")
+        # partition columns FIRST: without them the dynamic-partition
+        # writer inserts its own sort on (day, bucket), duplicating
+        # work and leaving the documented (conv_id, turn_idx) file
+        # order resting on that sort's stability (code-review r4)
+        .sortWithinPartitions(DAY_COL, BUCKET_COL, "conv_id", "turn_idx")
     )
     out.write.mode(mode).partitionBy(DAY_COL, BUCKET_COL).parquet(path)
     # persist the bucket count: a reader probing with a different modulus
     # would silently miss rows, so reads resolve it from the table itself
-    import json
-    import os
-
-    with open(os.path.join(path, "_kt_meta.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump({"n_buckets": n_buckets}, f)
 
 

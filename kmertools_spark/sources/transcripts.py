@@ -97,12 +97,15 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     driver hands us.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tag = f"__kt_registered_{abs(hash(sf_dir))}"
-    if spark.conf.get(f"spark.{tag}", None) == sf_dir:
+    # ONE fixed key holding the last-registered dir: a per-dir tag let
+    # A -> B -> A return early on A's stale tag while the shared temp
+    # views still pointed at B's files (code-review r4)
+    key = "spark.__kt_registered_sf_dir"
+    if spark.conf.get(key, None) == sf_dir:
         return
     for t in BASE_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    spark.conf.set(f"spark.{tag}", sf_dir)
+    spark.conf.set(key, sf_dir)
 
 
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
