@@ -77,6 +77,10 @@ def main() -> None:
     from kmertools_spark.session import get_spark
     from kmertools_spark.sources import probes_df, transcripts_df
 
+    # host-load context (r4 VERDICT item 6): the sandbox host is shared,
+    # and a loaded box inflates every leg 2-5x — the recorded numbers
+    # are only adjudicable round-over-round with the load attached
+    load_before = os.getloadavg()
     rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "1"))
     spark = get_spark(
         "kmertools-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
@@ -222,6 +226,8 @@ def main() -> None:
             "turns_per_sec": round(n_turns / timings["backfill"], 1),
             "total_wall_sec": round(total, 3),
             "best_of": best,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         },
     }
     print(json.dumps(out))

@@ -199,11 +199,13 @@ def asof_join_bucketed(
     # order by FULL-precision __t (then ord) — the window plan's event
     # order; ms-truncated __tms alone would mis-pick between two events
     # inside one millisecond (code-review r4 finding 3). __tms rides
-    # along for the tolerance check.
-    last_ev = F.max(
-        F.when(
-            F.col(_EV) == 1, F.struct("__t", "__ord", "__tms", "__payload")
-        )
+    # along for the tolerance check. max_by keeps __payload OUT of the
+    # comparison key (r4 ADVICE): a full (ts, ord) tie is unspecified in
+    # BOTH plans (the window plan takes whichever sorted last), but the
+    # payload must not bias which row this plan picks.
+    last_ev = F.max_by(
+        F.struct("__t", "__ord", "__tms", "__payload"),
+        F.when(F.col(_EV) == 1, F.struct("__t", "__ord")),
     ).alias("__lastev")
     bstats = u2.groupBy(on, "__b").agg(last_ev)
     wcarry = (

@@ -63,6 +63,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int | None = None,
     max_bucket: int | None = None,
+    _distinct: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -78,6 +79,12 @@ def lsh_candidate_pairs(
     connected-components clustering) is preserved exactly, while the
     pair count becomes linear in bucket size. None (default) keeps the
     exact all-pairs-per-bucket semantics the gate query checks.
+
+    ``_distinct=False`` (internal) skips the final distinct and may
+    emit one row per COLLIDING BAND: composed pipelines that pay a
+    distinct downstream anyway (dedup_keep's Jaccard stage) use it so
+    the candidate-pair relation — the largest intermediate of a corpus
+    dedup — is shuffled for dedup exactly once (r4 VERDICT item 3).
     """
     from ..functions.hashing import band_key_struct
 
@@ -117,7 +124,7 @@ def lsh_candidate_pairs(
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    return pairs.distinct() if _distinct else pairs
 
 
 def simhash_buckets(
@@ -154,6 +161,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    assume_distinct: bool = False,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster assignment: connected components over a
@@ -184,17 +192,30 @@ def dedup_clusters(
       * ``_stats`` (tests) receives {'rounds': n, 'probe_plan': the
         count query's executed plan — a Scan of the just-checkpointed
         blocks, never a join}.
+
+    ``assume_distinct=True`` skips the edge-relation distinct. This is
+    ALWAYS safe for correctness — min-label propagation over a multiset
+    of neighbors equals propagation over its set — the distinct is a
+    physical-plan trade (dedupe once vs. carry duplicate edges through
+    every round's join). Pass True when the pairs are already distinct
+    (a groupBy output, e.g. a Jaccard/cosine verify stage), so the
+    composed dedup pipelines shuffle the pair relation for dedup
+    exactly once (r4 VERDICT item 3).
     """
+    if max_iter < 1:
+        # the loop body defines `changed`; a zero-round run would leave
+        # identity labels while looking "finished" (r4 ADVICE)
+        raise ValueError(f"dedup_clusters: max_iter must be >= 1, got {max_iter}")
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    edges = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-        .distinct()
-        .cache()
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionByName(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     )
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.cache()
     labels = labels0 = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()
@@ -321,8 +342,17 @@ def dedup_keep(
     are near-identical in practice (that is why they flood); leave the
     cap None when exact pair semantics matter (the gate's q42 does).
     """
+    # single-distinct composition (r4 VERDICT item 3): the raw banded
+    # candidates skip lsh_candidate_pairs' distinct (the Jaccard stage
+    # distincts them anyway, immediately before the gram fan-out), and
+    # the verified pairs are a groupBy output — already distinct — so
+    # the components stage skips its edge distinct too. The pair
+    # relation, the largest intermediate of a corpus dedup, is shuffled
+    # for dedup exactly once.
     sigs = minhash_signatures(docs, id_col, text_col)
-    cand = lsh_candidate_pairs(sigs, id_col, bands, max_bucket=max_bucket)
+    cand = lsh_candidate_pairs(
+        sigs, id_col, bands, max_bucket=max_bucket, _distinct=False
+    )
     verified, grams = _jaccard_for_pairs_cached(
         cand, docs, id_col, text_col, n=n, threshold=threshold
     )
@@ -331,6 +361,7 @@ def dedup_keep(
         docs.select(id_col),
         id_col,
         checkpoint_dir=checkpoint_dir,
+        assume_distinct=True,
     )
     # dedup_clusters eagerly checkpoints its labels, so the verified
     # pairs (and therefore the gram cache) are fully consumed by the

@@ -15,6 +15,46 @@ from pyspark.sql import functions as F
 
 DAY_COL = "__day"
 BUCKET_COL = "__bucket"
+_META_NAME = "_kt_meta.json"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for any supported scheme — file://,
+    hdfs://, s3a://. os.path/open would silently no-op the meta
+    bookkeeping on a real cluster target (r4 ADVICE)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    fs, table = _fs_and_path(spark, path)
+    meta = spark._jvm.org.apache.hadoop.fs.Path(table, _META_NAME)
+    if not fs.exists(meta):
+        return None
+    stream = fs.open(meta)
+    try:
+        # java.io.InputStream.readAllBytes (Java 9+) -> python bytes;
+        # a py4j bytearray read-buffer would NOT see Java-side writes
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    import json
+
+    fs, table = _fs_and_path(spark, path)
+    target = spark._jvm.org.apache.hadoop.fs.Path(table, _META_NAME)
+    stream = fs.create(target, True)
+    try:
+        stream.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def write_feature_table(
@@ -31,21 +71,28 @@ def write_feature_table(
     scan); within partitions rows are sorted by (conv_id, turn_idx) —
     the deterministic-order invariant (O2) via sort, not mmap offsets.
     """
-    import json
-    import os
-
-    meta_path = os.path.join(path, "_kt_meta.json")
-    if mode == "append" and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            existing = json.load(f).get("n_buckets")
-        if existing != n_buckets:
+    spark = df.sparkSession
+    if mode == "append":
+        meta = _read_meta(spark, path)
+        fs, table = _fs_and_path(spark, path)
+        if meta is None and fs.exists(table):
+            # a pre-existing table with no meta has an UNKNOWN layout —
+            # appending would rewrite meta to the new modulus while the
+            # old rows keep the old buckets (r4 ADVICE): refuse rather
+            # than guess; overwrite or backfill the meta explicitly
+            raise ValueError(
+                f"write_feature_table: table at {path} exists but has no "
+                f"{_META_NAME}; refusing to append with an unverifiable "
+                "bucket modulus (use mode='overwrite' to rebuild)"
+            )
+        if meta is not None and meta.get("n_buckets") != n_buckets:
             # appending under a different modulus would leave old rows
             # laid out under the old buckets while the meta claims the
             # new one — conv_id probes would silently miss them
             # (code-review r4)
             raise ValueError(
                 f"write_feature_table: table at {path} was written with "
-                f"n_buckets={existing}; appending with n_buckets="
+                f"n_buckets={meta.get('n_buckets')}; appending with n_buckets="
                 f"{n_buckets} would break conv_id bucket pruning"
             )
     out = (
@@ -63,8 +110,7 @@ def write_feature_table(
     out.write.mode(mode).partitionBy(DAY_COL, BUCKET_COL).parquet(path)
     # persist the bucket count: a reader probing with a different modulus
     # would silently miss rows, so reads resolve it from the table itself
-    with open(meta_path, "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+    _write_meta(spark, path, {"n_buckets": n_buckets})
 
 
 def read_feature_table(
@@ -77,15 +123,11 @@ def read_feature_table(
     prunes to 1/n_buckets of the partitions. The bucket modulus is
     resolved from the table's own metadata (a caller-supplied value
     that disagreed with the writer's would silently miss rows)."""
-    import json
-    import os
-
-    meta = os.path.join(path, "_kt_meta.json")
-    if os.path.exists(meta):
-        with open(meta) as f:
-            n_buckets = json.load(f)["n_buckets"]
+    meta = _read_meta(spark, path)
+    if meta is not None:
+        n_buckets = meta["n_buckets"]
     elif n_buckets is None:
-        raise ValueError(f"no _kt_meta.json under {path} and no n_buckets given")
+        raise ValueError(f"no {_META_NAME} under {path} and no n_buckets given")
     df = spark.read.parquet(path)
     if conv_id is not None:
         df = df.where(

@@ -22,11 +22,13 @@ have served cannot retract that probe's emitted row — append-mode
 streaming cannot un-emit. The watermark bounds how stale such a
 violation can be; the batch asof_join is the recovery/backfill tool.
 
-Known limitation: a double payload value that is genuinely NaN is
-served as NULL — the output pandas->Arrow boundary uses NaN as the
-null sentinel (true of every pandas-emitting operator); integral
-fields are exact at every width (a to_json twin carries them past the
-float64 widening of the input boundary).
+Numeric payload fields are exact end to end: the input boundary rides
+a JVM-side to_json twin past pandas' float64 widening, and the OUTPUT
+boundary emits int/double fields as strings (full int64 digits;
+repr(double) shortest round-trip, 'nan'/'inf' for specials) that are
+cast back to their exact types JVM-side — so a genuine NaN double is
+served as NaN, not NULL (pandas->Arrow would otherwise use NaN as the
+null sentinel).
 
 State is O(1) regardless of history length, evicted by event-time
 timeout after ``state_horizon_ms`` idle (the timeout timestamp is
@@ -42,6 +44,7 @@ from __future__ import annotations
 import json
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,6 +56,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     ShortType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -107,11 +111,17 @@ def streaming_asof(
         for f in payload_t.fields
     ]
     out_cols = [on, probe_ts_col, *pfields]
-    out_schema = StructType(
+    # the EMITTED schema carries numeric payload fields as strings — the
+    # pandas->Arrow boundary would widen int64 and fold NaN into NULL;
+    # the final select casts them back to exact types JVM-side
+    emit_schema = StructType(
         [
             StructField(on, u.schema[on].dataType),
             StructField(probe_ts_col, TimestampType()),
-            *[StructField(f.name, f.dataType) for f in payload_t.fields],
+            *[
+                StructField(f.name, StringType() if k else f.dataType)
+                for f, k in zip(payload_t.fields, numeric_kind)
+            ],
         ]
     )
     state_schema = StructType(
@@ -179,19 +189,24 @@ def streaming_asof(
         pdf = pdf.sort_values(
             ["__t", "__is_event", "__ord"], na_position="first", kind="mergesort"
         )
-        us_vals = (
-            pdf["__t"].to_numpy().astype("datetime64[us]").astype("float64")
-        )  # NaT -> nan
+        t64 = pdf["__t"].to_numpy().astype("datetime64[us]")
+        # NaT must be detected on the datetime64 array: an int64/float64
+        # cast turns it into the INT64_MIN sentinel, which pd.isna would
+        # never flag (r4 ADVICE — the null-probe path was only working
+        # by the sentinel preceding every event)
+        nat_mask = np.isnat(t64)
+        us_vals = t64.astype("int64")
         out = {c: [] for c in out_cols}
-        for t_orig, t_us, is_ev, ordv, pl, pj in zip(
+        for t_orig, t_us, is_nat, is_ev, ordv, pl, pj in zip(
             pdf["__t"],
             us_vals,
+            nat_mask,
             pdf["__is_event"].to_numpy(),
             pdf["__ord"].to_numpy(),
             pdf["__payload"].tolist(),
             pdf["__pj"].tolist(),
         ):
-            r_us = None if pd.isna(t_us) else int(t_us)
+            r_us = None if is_nat else int(t_us)
             if is_ev == 1:
                 cand = (r_us, int(ordv), _from_batch(pl, pj))
                 if last is None:
@@ -225,8 +240,13 @@ def streaming_asof(
                     picked = None
                 out[on].append(key[0])
                 out[probe_ts_col].append(None if r_us is None else t_orig)
-                for i, name in enumerate(pfields):
-                    out[name].append(None if picked is None else picked[2][i])
+                for i, (name, kind) in enumerate(zip(pfields, numeric_kind)):
+                    v = None if picked is None else picked[2][i]
+                    if v is not None and kind == "int":
+                        v = str(int(v))  # full int64 digits
+                    elif v is not None and kind == "float":
+                        v = repr(float(v))  # round-trip; 'nan'/'inf' OK
+                    out[name].append(v)
         if last is not None:
             state.update(
                 (
@@ -247,10 +267,20 @@ def streaming_asof(
             )
         yield pd.DataFrame(out)
 
-    return u.groupBy(on).applyInPandasWithState(
+    res = u.groupBy(on).applyInPandasWithState(
         fn,
-        outputStructType=out_schema,
+        outputStructType=emit_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # cast the stringified numeric fields back to their exact types
+    # (Spark's string->double cast parses 'nan'/'inf'/'-inf' specials)
+    return res.select(
+        on,
+        probe_ts_col,
+        *[
+            (F.col(f.name).cast(f.dataType) if k else F.col(f.name)).alias(f.name)
+            for f, k in zip(payload_t.fields, numeric_kind)
+        ],
     )

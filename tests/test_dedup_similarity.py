@@ -499,3 +499,79 @@ def test_cosine_neardup_lsh_max_bucket_star(spark):
             if a in reach or b in reach:
                 reach |= {a, b}
     assert reach == set(range(20))
+
+
+def test_dedup_clusters_assume_distinct_multiset_equal(spark):
+    """assume_distinct=True is correctness-safe even on duplicated
+    pairs (min over a multiset of neighbor labels == min over its set);
+    it only drops the physical edge-dedup shuffle."""
+    dup_pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (2, 3), (2, 3), (5, 7)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(dup_pairs, ids, assume_distinct=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 7: 5}
+
+
+def test_dedup_clusters_max_iter_validated(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup_clusters(pairs, ids, max_iter=0)
+
+
+def test_dedup_keep_single_distinct_composition(spark):
+    """The composed dedup_keep pipeline pays exactly ONE distinct on
+    the candidate-pair relation (r4 VERDICT item 3): the raw banded
+    candidates flow un-distincted into the Jaccard stage (whose
+    distinct is the one), and the components stage skips its edge
+    distinct. Plan-asserted + equality vs the default-surface pieces."""
+    import re
+
+    from kmertools_spark.operators import (
+        dedup_keep,
+        jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kmertools_spark.operators.dedup import _jaccard_for_pairs_cached
+
+    rng = np.random.RandomState(23)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(6, 14))) for _ in range(60)
+    ]
+    texts += [t + " tail" for t in texts[:15]]  # near-dups
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # --- plan shape: exactly one logical distinct of the pair relation
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs, _distinct=False)
+    verified, grams = _jaccard_for_pairs_cached(cand, docs, threshold=0.3)
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    distinct_aggs = re.findall(
+        r"HashAggregate\(keys=\[id_a[^\]]*\], functions=\[\]", plan
+    )
+    # one logical distinct = partial + final physical aggregates
+    assert len(distinct_aggs) == 2, plan
+    grams.unpersist()
+
+    # --- equality: composed pipeline == default-distinct composition
+    got = {
+        (r.doc_id): (r.cluster_id, r.keep)
+        for r in dedup_keep(docs, threshold=0.3).collect()
+    }
+    cand_pub = lsh_candidate_pairs(sigs)  # public path: distincted
+    ver_pub = jaccard_for_pairs(cand_pub, docs, threshold=0.3)
+    clus = dedup_clusters(ver_pub.select("id_a", "id_b"), docs.select("doc_id"))
+    want = {
+        r.doc_id: (r.cluster_id, r.doc_id == r.cluster_id) for r in clus.collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()

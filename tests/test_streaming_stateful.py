@@ -559,11 +559,10 @@ def test_streaming_asof_exact_int64_and_nan_payloads(spark, tmp_path):
     """code-review r4 round 2: integral payload values must survive
     the Arrow float-widening path EXACTLY — an int64 above 2^53
     (xxhash64-scale) served from state must not round through float64.
-    Double fields: NaN stays distinct from NULL through parsing and
-    state, but the OUTPUT pandas->Arrow boundary collapses float NaN to
-    NULL (pandas' null sentinel) — a documented limitation of every
-    pandas-emitting streaming operator; this test pins both the exact
-    int and the documented NaN->NULL output behavior."""
+    Double fields: NaN stays distinct from NULL end to end (r5: the
+    output boundary now emits numerics as strings and casts back
+    JVM-side, so a genuine NaN is served as NaN like the batch plan —
+    the former NaN->NULL limitation is gone)."""
     import math
 
     import pandas as pd
@@ -629,9 +628,8 @@ def test_streaming_asof_exact_int64_and_nan_payloads(spark, tmp_path):
     }
     assert want["a"][0] == big and math.isnan(want["a"][1])
     assert got["a"][0] == big, got["a"]          # exact, not 2^53
-    # batch serves NaN; the streaming OUTPUT boundary collapses it to
-    # NULL (pandas float NaN == null sentinel) — documented limitation
-    assert got["a"][1] is None, got["a"]
+    # NaN round-trips: streaming matches the batch plan (r5 fix)
+    assert math.isnan(got["a"][1]), got["a"]
     assert got["b"] == want["b"] == (7, 1.5)
 
 
