@@ -197,6 +197,14 @@ def main() -> None:
     # stratified-sample -> pack composition (q46/q52 shapes)
     from kmertools_spark.operators import pack_documents, training_prep
 
+    # greedy vocab tokenizer (vectorized kernel, r4 VERDICT item 4):
+    # count() is valid forcing — mapInPandas determines cardinality
+    from kmertools_spark.functions import vocab_token_counts
+    from kmertools_spark.functions.tokenize import DEMO_VOCAB
+
+    force(vocab_token_counts(docs.limit(256).repartition(cpus), DEMO_VOCAB))  # warm
+    timed("tokenize", lambda: force(vocab_token_counts(docs, DEMO_VOCAB)))
+
     timed("pack", lambda: force(pack_documents(docs, capacity=256)))
     timed(
         "prep",

@@ -84,30 +84,86 @@ def _codes(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
+class _Arena:
+    """Process-level scratch-buffer pool. On microVM-style sandboxes a
+    fresh numpy allocation page-faults every page and costs 10-100x the
+    arithmetic that follows; reusing process-lifetime buffers makes the
+    kernel allocation-free at steady state. One python worker process
+    runs one batch at a time, so a module-level pool is safe."""
+
+    def __init__(self) -> None:
+        self._bufs: dict[str, np.ndarray] = {}
+        self._pos32: np.ndarray = np.arange(0, dtype=np.int32)
+
+    def get(self, name: str, n: int, dtype) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.size < n or buf.dtype != np.dtype(dtype):
+            buf = np.empty(max(n, 1 << 16), dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:n]
+
+    def zeros(self, name: str, n: int, dtype) -> np.ndarray:
+        buf = self.get(name, n, dtype)
+        buf.fill(0)
+        return buf
+
+    def positions32(self, n: int) -> np.ndarray:
+        if self._pos32.size < n:
+            self._pos32 = np.arange(max(n, 1 << 16), dtype=np.int32)
+        return self._pos32[:n]
+
+
+_ARENA = _Arena()
+
+
 def batch_greedy_token_counts(
     texts: list[str], vocab_list: list[str], max_len: int
 ) -> np.ndarray:
     """Vectorized greedy longest-match token counts for a batch of
     texts (int64 array, one count per text). Exact twin of
     ``greedy_token_count`` (hypothesis-tested), no per-character
-    Python in the hot path."""
+    Python in the hot path and no per-call numpy allocations of
+    batch-sized arrays (see _Arena)."""
+    A = _ARENA
     ntex = len(texts)
     if ntex == 0:
         return np.zeros(0, dtype=np.int64)
     parts = list(texts) + list(vocab_list)
     plens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
     offs = np.concatenate([[0], np.cumsum(plens)])
-    codes = _codes("".join(parts))
+    big = "".join(parts)
+    # ASCII fast path: uint8 codes move 4x less memory than utf-32 and
+    # keep every level in int32 — the kernel is bandwidth-bound. (The
+    # engine's oracle contract is ASCII-corpora anyway; mixed batches
+    # take the general utf-32 path with identical semantics.)
+    if big.isascii():
+        codes = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+        lut_size = 1 << 7
+    else:
+        codes = _codes(big)
+        lut_size = 0x110000
     N = codes.size
     if N == 0:
         return np.zeros(ntex, dtype=np.int64)
 
-    # dense vocab-alphabet ids: 1..A for chars any token uses, 0 else
+    # dense vocab-alphabet ids via direct lookup table: 1..A for chars
+    # any token uses, 0 else (one gather instead of searchsorted+cmp).
+    # (code points < 128 have identical values in both encodings, so a
+    # non-ASCII vocab over an ASCII batch still maps correctly.)
     alph = np.unique(_codes("".join(vocab_list)))
-    pos = np.searchsorted(alph, codes)
-    np.clip(pos, 0, max(alph.size - 1, 0), out=pos)
-    ids = np.where(alph[pos] == codes, pos + 1, 0).astype(np.int64)
+    alph = alph[alph < lut_size]  # chars that can't occur can't match
+    if alph.size == 0:
+        # no vocab char occurs in this encoding space: all fallback
+        out = plens[:ntex].copy()
+        return out
+    lut = A.zeros("lut", lut_size, np.int32)
+    lut[alph] = np.arange(1, alph.size + 1, dtype=np.int32)
+    ids = A.get("ids", N, np.int32)
+    np.take(lut, codes, out=ids)
     bits = max(1, int(np.ceil(np.log2(alph.size + 1))))
+
+    def _dt(width: int):
+        return np.int32 if width <= 31 else np.int64
 
     # levels[k] identifies substrings of length 2^k in `width` bits
     levels: dict[int, tuple[np.ndarray, int]] = {0: (ids, bits)}
@@ -115,63 +171,129 @@ def batch_greedy_token_counts(
     def _compressed(k: int) -> tuple[np.ndarray, int]:
         arr, w = levels[k]
         if 2 * w > 62:
-            _, arr = np.unique(arr, return_inverse=True)
-            arr = arr.astype(np.int64)
-            w = max(1, int(np.ceil(np.log2(arr.max() + 2))))
+            _, inv = np.unique(arr, return_inverse=True)
+            w = max(1, int(np.ceil(np.log2(inv.max() + 2))))
+            arr = A.get(f"lvc{k}", N, _dt(w))
+            arr[:] = inv
             levels[k] = (arr, w)
         return arr, w
 
     k, span = 0, 1
     while span * 2 <= max_len:
         arr, w = _compressed(k)
-        up = arr << w
-        up[: N - span] |= arr[span:]
+        up = A.get(f"lv{k + 1}", N, _dt(2 * w))
+        np.left_shift(arr, w, out=up, casting="unsafe")
+        np.bitwise_or(up[: N - span], arr[span:], out=up[: N - span])
         levels[k + 1] = (up, 2 * w)
         k += 1
         span *= 2
 
-    def packs(l: int) -> np.ndarray:
+    def packs(l: int) -> tuple[np.ndarray, int]:
+        """(pack array, bit width): pack identity == substring identity
+        for every in-bounds window [i, i+l)."""
         kk = l.bit_length() - 1
         if (1 << kk) == l:
-            return levels[kk][0]
+            return levels[kk]
         a = 1 << kk
         arr, w = _compressed(kk)
-        p = arr << w
-        p[: N - (l - a)] |= arr[l - a :]
-        return p
+        scratch = A.get(f"scratch{np.dtype(_dt(2 * w)).itemsize}", N, _dt(2 * w))
+        np.left_shift(arr, w, out=scratch, casting="unsafe")
+        np.bitwise_or(scratch[: N - (l - a)], arr[l - a :], out=scratch[: N - (l - a)])
+        return scratch, 2 * w
 
     by_len: dict[int, list[int]] = {}
     for t, s in zip(vocab_list, offs[ntex:]):
         by_len.setdefault(len(t), []).append(int(s))
 
-    # boundary mask: end-of-part for every position (no separators —
-    # a match is simply forbidden from crossing a part boundary)
-    ends = np.repeat(offs[1:], plens)
-    posarr = np.arange(N, dtype=np.int64)
+    # boundary guard: end-of-part for every position (no separators —
+    # a match is simply forbidden from crossing a part boundary). Part
+    # ends are monotone, so scattering each part's end at its start and
+    # running a forward running-max fills every position without the
+    # allocation np.repeat would make.
+    ends = A.zeros("ends", N, np.int64)
+    nz = plens > 0
+    ends[offs[:-1][nz]] = offs[1:][nz]
+    np.maximum.accumulate(ends, out=ends)
 
-    L = np.zeros(N, dtype=np.int64)
-    for l in sorted(by_len):
+    # remaining chars in part at each position: boundary test per
+    # length collapses to one compare (rem >= l)
+    rem = A.get("rem", N, np.int32)
+    pos32 = A.positions32(N)
+    np.subtract(ends, pos32, out=rem, casting="unsafe")
+
+    # L = longest matching vocab length per position; max() makes the
+    # result order-independent across lengths
+    L = A.zeros("L", N, np.int32)
+    mbuf = A.get("mbuf", N, bool)
+    vbuf = A.get("vbuf", N, bool)
+    lbuf = A.get("lbuf", N, np.int32)
+    for l in sorted(by_len, reverse=True):
         if l == 0 or l > N:
             continue
-        pk = packs(l)
-        tvals = np.unique(pk[np.array(by_len[l], dtype=np.int64)])
-        j = np.searchsorted(tvals, pk)
-        np.clip(j, 0, tvals.size - 1, out=j)
-        match = tvals[j] == pk
-        match &= posarr + l <= ends
-        L = np.where(match, l, L)
+        pk, width = packs(l)
+        tok_pk = np.unique(pk[np.array(by_len[l], dtype=np.int64)])
+        if width <= 22:
+            # small pack space: direct boolean LUT beats binary search
+            tlut = A.zeros(f"tlut{width}", 1 << width, bool)
+            tlut[tok_pk] = True
+            np.take(tlut, pk, out=mbuf)
+        else:
+            jbuf = np.searchsorted(tok_pk, pk)
+            np.clip(jbuf, 0, tok_pk.size - 1, out=jbuf)
+            np.equal(np.take(tok_pk, jbuf), pk, out=mbuf)
+        # window must not cross its part boundary
+        np.greater_equal(rem, l, out=vbuf)
+        mbuf &= vbuf
+        np.multiply(mbuf, l, out=lbuf, casting="unsafe")
+        np.maximum(L, lbuf, out=L)
 
-    # greedy jump chain + pointer doubling; node N is the absorber
-    step = np.where(L > 0, L, 1)
-    nxt = np.concatenate([posarr + step, [N]])
-    cnt = np.ones(N + 1, dtype=np.int64)
+    # greedy jump chain: step = match length (fallback 1); absorb at
+    # the first jump INTO a part start, so chains never leave their
+    # part and the doubling depth is log2(longest part), not log2(N).
+    # int32 halves the random-gather traffic of the doubling rounds
+    # (the kernel's dominant cost); N < 2^31 always holds for a batch.
+    np.maximum(L, 1, out=L)  # L doubles as the step array now
+    nxt = A.get("nxt", N + 1, np.int32)
+    np.add(pos32, L, out=nxt[:N])
+    nxt[N] = N
+    is_start = A.zeros("is_start", N + 1, bool)
+    is_start[offs[offs <= N]] = True
+    np.take(is_start, nxt[:N], out=mbuf)
+    np.place(nxt[:N], mbuf, N)  # terminal jump -> absorber
+    mx = int(plens.max()) if plens.size else 1
+    rounds = int(np.ceil(np.log2(max(2, mx + 1))))
+    # Two exact count strategies over the same jump chain:
+    #  * lane walk: one lane per doc, one gather of ntex positions per
+    #    token rank — total random accesses == total tokens. Wins when
+    #    docs are short relative to the batch (the usual corpus shape).
+    #  * pointer doubling: O(N log mx) full-array gathers, immune to a
+    #    single whale doc dominating the round count.
+    if mx * (ntex + 4096) < 2 * rounds * (N + 4096):
+        pos = offs[: ntex].astype(np.int32)
+        pos[plens[:ntex] == 0] = N  # empty doc aliases next part's start
+        out = np.zeros(ntex, dtype=np.int64)
+        active = np.empty(ntex, dtype=bool)
+        for _ in range(mx + 1):
+            np.not_equal(pos, N, out=active)
+            if not active.any():
+                break
+            out += active
+            pos = np.take(nxt, pos)
+        return out
+    cnt = A.get("cnt", N + 1, np.int32)
+    cnt.fill(1)
     cnt[N] = 0
-    rounds = int(np.ceil(np.log2(N + 1)))
+    cbuf = A.get("cbuf", N + 1, np.int32)
+    nbuf = A.get("nbuf", N + 1, np.int32)
     for _ in range(rounds):
-        cnt += cnt[nxt]
-        nxt = nxt[nxt]
-    # tokens in doc d = count-to-end(start_d) - count-to-end(start_{d+1})
-    return cnt[offs[: ntex + 1]][:-1] - cnt[offs[1 : ntex + 1]]
+        np.take(cnt, nxt, out=cbuf)
+        cnt += cbuf
+        np.take(nxt, nxt, out=nbuf)
+        nxt, nbuf = nbuf, nxt
+    # a zero-length part's start aliases the next part's: force 0
+    out = cnt[offs[:ntex]].astype(np.int64)
+    out[plens[:ntex] == 0] = 0
+    return out
 
 
 def vocab_token_counts(
