@@ -187,6 +187,12 @@ def main() -> None:
         force(lsh_candidate_pairs(sigs, bands=4))
         sigs.unpersist()
 
+    # one untimed full-size pass first: this leg's banding self-join
+    # takes ~2 executions for whole-stage codegen/JIT to settle
+    # (measured r5: reps [4.2, 4.1, 2.1, 2.1, 2.3, 1.9] — best-of-2
+    # alone records the warm-up regime, which once read as inverse
+    # scaling in the r4 table)
+    dedup_leg()
     timed("dedup", dedup_leg)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -65,6 +65,17 @@ Full per-query timings (seconds):
     ) + f"""
 
 Input: {sf_dir}. Efficiency = (turns/sec at 4N / turns/sec at N) / 4.
+
+Small-leg caveat (r4 VERDICT item 5, measured r5): the dedup/ann/pack/
+prep legs run over the tiny side tables (5,000 docs / 2,000 embeddings
+at sf0.1), where wall time is fixed overhead (task rounds, python
+worker startup, JIT) rather than data work — their N vs 4N deltas are
+noise of +-0.2s, not plan behavior. The r4 table's apparent dedup
+inversion (5.4s -> 12.8s) was the JIT warm-up regime: isolated
+6-rep runs converge to ~2.0s at local[8] vs ~2.4s at local[2]
+(no inversion); bench.py now runs one untimed full-size dedup pass
+before timing. Scaling conclusions should be read off the
+backfill/cgr/counts_cov/minruns legs, which carry real data volume.
 """
     os.makedirs("BENCH", exist_ok=True)
     begin = "<!-- AUTOGEN:SCALING:BEGIN (bench_scaling.py rewrites this block) -->"

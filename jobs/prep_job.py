@@ -41,6 +41,13 @@ def main() -> int:
     )
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--bin-buckets", type=int, default=64)
+    ap.add_argument(
+        "--checkpoint",
+        choices=("local", "reliable", "none"),
+        default="local",
+        help="packing's (id, tok) pin: 'reliable' survives executor "
+        "loss (requires spark.checkpoint.dir / setCheckpointDir)",
+    )
     args = ap.parse_args()
     rates = {}
     for kv in args.rate:
@@ -74,6 +81,7 @@ def main() -> int:
         min_tokens=args.min_tokens,
         rates=rates,
         default_rate=args.default_rate,
+        checkpoint=args.checkpoint,
     ).withColumn("bin_bucket", F.pmod(F.col("bin"), args.bin_buckets))
     packed.write.mode("overwrite").partitionBy("bin_bucket").parquet(args.output)
     wall = time.time() - t0

@@ -12,7 +12,12 @@ from .composition import (
 from .hashing import doc_fingerprint, minhash_sig, simhash_value
 from .kmers import exploded_kmers, kmer_count_pairs
 from .minimizers import exploded_minimisers
-from .tokenize import greedy_token_count, vocab_token_counts
+from .tokenize import (
+    batch_greedy_token_counts,
+    greedy_token_count,
+    hf_token_counts,
+    vocab_token_counts,
+)
 from .text import (
     lang_guess,
     normalize_text,
@@ -41,6 +46,8 @@ __all__ = [
     "occurrences",
     "quality_score",
     "token_count",
+    "batch_greedy_token_counts",
     "greedy_token_count",
+    "hf_token_counts",
     "vocab_token_counts",
 ]

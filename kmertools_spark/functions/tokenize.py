@@ -19,23 +19,30 @@ per-character Python loop is retained only as the pytest oracle,
 ``greedy_token_count``). Formulation:
 
 1. the batch's texts plus the vocab tokens are concatenated into ONE
-   code-point array (utf-32), so token packs and window packs live in
-   the same identifier space;
+   code-point array (uint8 when the batch is pure ASCII — 4x less
+   memory moved — else utf-32), so token packs and window packs live
+   in the same identifier space;
 2. every position gets a dense vocab-alphabet id; substring identity
    for each vocab length l is a base-2^bits integer pack built by
    suffix-array-style doubling (levels identify lengths 2^k; arbitrary
    l = overlapping pair of level floor(log2 l)), rank-compressed via
    np.unique only when a pack would overflow 62 bits (long tokens);
-3. per length, windows match tokens via searchsorted on the sorted
-   token packs; matches whose window would cross a document boundary
-   are masked off, so no separator chars are needed (texts containing
-   NUL, or NUL inside vocab tokens, need no special-casing);
+3. per length, windows match tokens via a boolean LUT over the pack
+   space (searchsorted when the space exceeds 2^22); matches whose
+   window would cross a document boundary are masked off, so no
+   separator chars are needed (texts containing NUL, or NUL inside
+   vocab tokens, need no special-casing);
 4. the greedy scan is a functional-graph jump chain (next = i + match
-   length, else i + 1); counts for every position at once come from
-   pointer doubling (O(N log N) vector ops), and a document's token
-   count is the count-to-end difference between its start and the next
-   document's start — exact because masked matches never cross a
-   boundary, so every chain passes through every downstream doc start.
+   length, else i + 1) that absorbs at the first jump into a part
+   start; counts come from a lane-per-document walk (total random
+   accesses == total tokens — the corpus-shaped fast path) or pointer
+   doubling (O(N log longest-part), immune to a whale doc dominating
+   the lane rounds), chosen by a measured cost model — both exact.
+
+All scratch is drawn from a process-level buffer pool (_Arena): on
+this class of sandbox a fresh numpy allocation costs 10-100x the
+arithmetic, and the pooled kernel measures 10.6x the python twin
+(16M chars/s) where the naive vectorization measured 0.7x.
 
 Scale shape: the vocab is shipped ONCE per executor via
 SparkContext.broadcast (never per task, never per row); the stage is a
@@ -178,11 +185,24 @@ def batch_greedy_token_counts(
             levels[k] = (arr, w)
         return arr, w
 
+    def _shift_into(dst: np.ndarray, arr: np.ndarray, w: int) -> None:
+        """dst = arr << w, computed IN dst's dtype. A direct
+        np.left_shift(int32_arr, w, out=int64_dst) silently computes in
+        the int32 ufunc loop (numpy picks the loop from input dtypes,
+        not out) and wraps for w >= 17 — code-review r5 finding 1. The
+        assignment casts element-wise into the existing buffer (no
+        allocation), then the shift runs in dst's own dtype."""
+        if dst.dtype == arr.dtype:
+            np.left_shift(arr, w, out=dst)
+        else:
+            dst[:] = arr
+            np.left_shift(dst, w, out=dst)
+
     k, span = 0, 1
     while span * 2 <= max_len:
         arr, w = _compressed(k)
         up = A.get(f"lv{k + 1}", N, _dt(2 * w))
-        np.left_shift(arr, w, out=up, casting="unsafe")
+        _shift_into(up, arr, w)
         np.bitwise_or(up[: N - span], arr[span:], out=up[: N - span])
         levels[k + 1] = (up, 2 * w)
         k += 1
@@ -197,13 +217,18 @@ def batch_greedy_token_counts(
         a = 1 << kk
         arr, w = _compressed(kk)
         scratch = A.get(f"scratch{np.dtype(_dt(2 * w)).itemsize}", N, _dt(2 * w))
-        np.left_shift(arr, w, out=scratch, casting="unsafe")
+        _shift_into(scratch, arr, w)
         np.bitwise_or(scratch[: N - (l - a)], arr[l - a :], out=scratch[: N - (l - a)])
         return scratch, 2 * w
 
+    # max_len is a CAP, exactly as in the python twin (greedy tries
+    # lengths <= min(max_len, remaining)): longer vocab tokens can
+    # never match, so they are dropped here rather than indexing a
+    # doubling level that was never built (code-review r5 finding 4)
     by_len: dict[int, list[int]] = {}
     for t, s in zip(vocab_list, offs[ntex:]):
-        by_len.setdefault(len(t), []).append(int(s))
+        if len(t) <= max_len:
+            by_len.setdefault(len(t), []).append(int(s))
 
     # boundary guard: end-of-part for every position (no separators —
     # a match is simply forbidden from crossing a part boundary). Part
@@ -335,6 +360,66 @@ def vocab_token_counts(
 
     # select() before mapInPandas: the Python boundary blocks column
     # pruning, so only (id, text) may cross it
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+        .mapInPandas(count_batches, schema)
+    )
+
+
+def hf_token_counts(
+    df: DataFrame,
+    tokenizer_json: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_tok",
+    add_special_tokens: bool = False,
+) -> DataFrame:
+    """(id, text) -> (id, n_tok) via a HuggingFace `tokenizers` fast
+    tokenizer — the production-vocab twin of vocab_token_counts, for
+    when token counts must match an actual training tokenizer (BPE
+    merges, normalizers, pre-tokenizers) rather than the greedy
+    longest-match model.
+
+    ``tokenizer_json`` is the CONTENT of a tokenizer.json file (data
+    the user owns — e.g. open(path).read() of any published
+    tokenizer). The string is broadcast once per executor; the Rust
+    tokenizer object is instantiated once per task and reused across
+    that task's Arrow batches, and counting goes through
+    ``encode_batch`` (parallel Rust, no per-row python).
+
+    Requires the optional `tokenizers` package on the executors;
+    raises ImportError at call time when absent (this container ships
+    without it — the seam is tested with a stub and skipped-if-absent
+    integration test).
+    """
+    try:
+        import tokenizers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - exercised via test stub
+        raise ImportError(
+            "hf_token_counts requires the 'tokenizers' package on driver "
+            "and executors (pip install tokenizers)"
+        ) from e
+    bc = df.sparkSession.sparkContext.broadcast(tokenizer_json)
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(out_col, LongType())]
+    )
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tokenizers import Tokenizer
+
+        tok = Tokenizer.from_str(bc.value)  # once per worker task
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf[text_col]]
+            encs = tok.encode_batch(texts, add_special_tokens=add_special_tokens)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    out_col: np.fromiter(
+                        (len(e.ids) for e in encs), dtype=np.int64, count=len(encs)
+                    ),
+                }
+            )
+
     return (
         df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
         .mapInPandas(count_batches, schema)

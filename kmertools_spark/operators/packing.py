@@ -39,6 +39,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.text import token_count
 from ..oracle.hashing import MOD, PACK_A, PACK_B
+from .sampling import affine_hash
 
 _OFF_SCHEMA = StructType(
     [
@@ -99,6 +100,11 @@ def pack_documents(
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     if checkpoint not in ("local", "reliable", "none"):
         raise ValueError(f"checkpoint must be local|reliable|none, got {checkpoint!r}")
+    if n_parts is not None and int(n_parts) < 1:
+        # 0 would silently mean "unset" through `or`, negatives would
+        # surface as Spark's generic repartition error after the
+        # expensive upstream already ran (code-review r5)
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
     spark = df.sparkSession
     P = n_parts or spark.sparkContext.defaultParallelism
 
@@ -116,10 +122,9 @@ def pack_documents(
         base = base.checkpoint(eager=False)
 
     if order == "hash":
-        key = F.pmod(
-            F.lit(PACK_A) * F.pmod(F.col("doc_id"), F.lit(MOD)) + F.lit(PACK_B),
-            F.lit(MOD),
-        )
+        # the shared overflow-safe affine fold (sampling.affine_hash)
+        # with the packing constants
+        key = affine_hash(F.col("doc_id"), PACK_A, PACK_B)
         keyed = base.withColumn("__ord", key).withColumn(
             "__part", ((F.col("__ord") * P) / MOD).cast("int")
         )
@@ -140,10 +145,17 @@ def pack_documents(
         )
 
     # tiny job: P per-partition token sums -> exclusive prefix offsets
-    psums = {
-        int(r[0]): int(r[1])
-        for r in keyed.groupBy("__part").agg(F.sum("tok")).collect()
-    }
+    rows = keyed.groupBy("__part").agg(F.sum("tok")).collect()
+    if any(r[0] is None for r in rows):
+        # a NULL id (or an id_col value that cast to NULL) hashes to a
+        # NULL partition; it cannot be ordered deterministically, and
+        # letting it through used to die as an opaque TypeError here
+        # (code-review r5) — name the actual cause
+        raise ValueError(
+            f"pack_documents: {id_col} contains NULL (or values that "
+            "cast to NULL as long); filter or re-key upstream"
+        )
+    psums = {int(r[0]): int(r[1]) for r in rows}
     bases, acc = {}, 0
     for p in sorted(psums):
         bases[p] = acc
@@ -158,9 +170,16 @@ def pack_documents(
         )
 
     # explicit exchange on the grouping key (AQE would coalesce this
-    # small-by-bytes shuffle onto one task — see BENCH/BASELINE.md)
+    # small-by-bytes shuffle onto one task — see BENCH/BASELINE.md).
+    # 4*P physical partitions, not P: Spark hash-routes the P dense
+    # part ids balls-in-bins style, and at exactly P bins ~1/e of the
+    # pinned tasks would sit empty while others carry 2-3 groups
+    # (code-review r5); 4x the bins cuts expected collisions to ~11%
+    # and empty partitions cost nothing in this cheap cumsum stage.
+    # groupBy still reuses the exchange (HashPartitioning on __part
+    # satisfies the clustering requirement at any partition count).
     offs = (
-        keyed.repartition(P, "__part")
+        keyed.repartition(4 * P, "__part")
         .groupBy("__part")
         .applyInPandas(local_offsets, _OFF_SCHEMA)
     )

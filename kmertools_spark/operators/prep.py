@@ -73,13 +73,18 @@ def prep_filter(
     hof = F.get(
         F.transform(F.array(normalize_text(F.col(text_col))), _feats), 0
     )
+    # a threshold of 0 must be a true no-op: repetition_ratio (and
+    # quality_score on degenerate inputs) can be NULL, and `NULL >= 0.0`
+    # silently drops the row (code-review r5) — so zero thresholds skip
+    # the predicate instead of comparing
+    cond = F.col("__f.n_tok") >= min_tokens
+    if min_quality > 0:
+        cond &= F.col("__f.q") >= min_quality
+    if min_rep > 0:
+        cond &= F.col("__f.rep") >= min_rep
     kept = (
         docs.select(F.col(id_col), hof.alias("__f"))
-        .where(
-            (F.col("__f.q") >= min_quality)
-            & (F.col("__f.rep") >= min_rep)
-            & (F.col("__f.n_tok") >= min_tokens)
-        )
+        .where(cond)
         .select(
             id_col,
             F.col("__f.n_tok").alias("n_tok"),
@@ -104,6 +109,7 @@ def training_prep(
     rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     n_parts: int | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """docs -> (doc_id, bin, tok_start, pos_in_bin, n_tok) window map.
 
@@ -111,6 +117,9 @@ def training_prep(
     NORMALIZED text) to a deterministic keep fraction; languages absent
     from the map keep ``default_rate``. ``rates=None`` with
     ``default_rate=1.0`` skips the sampling gate entirely.
+    ``checkpoint`` forwards to pack_documents ("reliable" for
+    executor-loss-safe cluster runs — code-review r5: the documented
+    fault-tolerant mode was unreachable from this entry point).
     """
     kept = prep_filter(
         docs,
@@ -129,4 +138,5 @@ def training_prep(
         tokens_col="n_tok",
         order="hash",
         n_parts=n_parts,
+        checkpoint=checkpoint,
     )

@@ -20,16 +20,23 @@ SAMPLE_A = int(PERM_A[0])
 SAMPLE_B = int(PERM_B[0])
 
 
-def _hash_col(id_col: Column) -> Column:
-    """((A * (id mod P) + B) mod P) — the id is folded into [0, P)
-    FIRST so A * id can never overflow int64 for ANY int64 id (A, id'
+def affine_hash(id_col: Column, a: int, b: int) -> Column:
+    """((a * (id mod P) + b) mod P) — the id is folded into [0, P)
+    FIRST so a * id can never overflow int64 for ANY int64 id (a, id'
     < P = 1e9+7 keeps the product < 2^63 exactly; r2 ADVICE: the old
     unreduced form wrapped silently in Spark past id ~2^33 while DuckDB
-    raised, so engine and oracle could diverge without error)."""
+    raised, so engine and oracle could diverge without error). The ONE
+    implementation of the engine's affine pmod-fold — sampling and
+    packing both draw from it so the overflow invariant lives in one
+    place (code-review r5)."""
     return F.pmod(
-        F.lit(SAMPLE_A) * F.pmod(id_col.cast("long"), F.lit(MOD)) + F.lit(SAMPLE_B),
+        F.lit(int(a)) * F.pmod(id_col.cast("long"), F.lit(MOD)) + F.lit(int(b)),
         F.lit(MOD),
     )
+
+
+def _hash_col(id_col: Column) -> Column:
+    return affine_hash(id_col, SAMPLE_A, SAMPLE_B)
 
 
 def sample_gate(id_col: Column, pct: float) -> Column:
@@ -61,13 +68,19 @@ def sample_slice(df: DataFrame, id_col: str, lo: float, hi: float) -> DataFrame:
     return df.where((h >= F.lit(int(lo * MOD))) & (h < F.lit(int(hi * MOD))))
 
 
-def sample_sql_gate(id_expr: str, pct: float) -> str:
-    """The DuckDB twin of sample_gate (same constants, same math;
-    pmod-safe fold so negative ids agree with Spark's pmod)."""
+def sample_sql_hash(id_expr: str) -> str:
+    """The DuckDB twin of _hash_col — the ONE source of the oracle-side
+    gate hash (oracle/sql_queries builds its WHERE clauses from this,
+    so engine and oracle cannot drift; code-review r5). The
+    ((x % P + P) % P) fold matches Spark's pmod for negative ids."""
     return (
         f"(({SAMPLE_A} * ((({id_expr}) % {MOD} + {MOD}) % {MOD}) + {SAMPLE_B}) % {MOD})"
-        f" < {int(pct * MOD)}"
     )
+
+
+def sample_sql_gate(id_expr: str, pct: float) -> str:
+    """The DuckDB twin of sample_gate (same constants, same math)."""
+    return f"{sample_sql_hash(id_expr)} < {int(pct * MOD)}"
 
 
 def stratified_sample(

@@ -351,10 +351,9 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang,
              WHEN n_words > 0 THEN 0.0 END, 0.0), 6) AS quality
 FROM feat"""
 
-    from .hashing import PERM_A as _PA
-    from .hashing import PERM_B as _PB
-
-    _sa, _sb = int(_PA[0]), int(_PB[0])
+    # the gate hash comes from the operator module's ONE sql twin
+    # (code-review r5: the inlined copies could drift from sample_gate)
+    from ..operators.sampling import sample_sql_hash
     _strat_rates = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 1.0}
     _strat_default = 0.1
     _rate_case = (
@@ -380,7 +379,7 @@ hits AS (
 ),
 lng AS (SELECT doc_id, {lang_case} AS lang FROM hits)
 SELECT doc_id, lang FROM lng
-WHERE (({_sa} * ((doc_id % {MOD} + {MOD}) % {MOD}) + {_sb}) % {MOD}) < {_rate_case}"""
+WHERE {sample_sql_hash('doc_id')} < {_rate_case}"""
 
     # q52: the capstone composition — normalize -> quality/repetition/
     # token filters -> per-language stratified sampling -> deterministic
@@ -439,7 +438,7 @@ keep AS (
   SELECT f.doc_id, f.n_tok
   FROM feat f JOIN rep r ON r.doc_id = f.doc_id
   WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
-    AND (({_sa} * ((f.doc_id % {MOD} + {MOD}) % {MOD}) + {_sb}) % {MOD})
+    AND {sample_sql_hash('f.doc_id')}
         < CASE f.lang WHEN 'en' THEN {int(0.8 * MOD)} ELSE {int(0.3 * MOD)} END
 ),
 off AS (
@@ -519,7 +518,7 @@ WITH {_prep_ctes}
 SELECT f.doc_id, f.n_tok, f.q, r.rep, f.lang
 FROM feat f JOIN rep r ON r.doc_id = f.doc_id
 WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
-  AND (({_sa} * ((f.doc_id % {MOD} + {MOD}) % {MOD}) + {_sb}) % {MOD})
+  AND {sample_sql_hash('f.doc_id')}
       < CASE f.lang WHEN 'en' THEN {int(0.8 * MOD)} ELSE {int(0.3 * MOD)} END"""
 
     # q48: portable-regex normalizer (no \\s — Java and RE2 disagree on

@@ -72,6 +72,15 @@ def write_feature_table(
     the deterministic-order invariant (O2) via sort, not mmap offsets.
     """
     spark = df.sparkSession
+    if mode == "ignore":
+        # "ignore" no-ops the parquet save when the table exists — the
+        # meta write must then no-op too, or it would claim the new
+        # modulus over the old layout (code-review r5 finding 2).
+        # (error/errorifexists need no guard: the writer throws before
+        # the meta write.)
+        fs, table = _fs_and_path(spark, path)
+        if fs.exists(table):
+            return
     if mode == "append":
         meta = _read_meta(spark, path)
         fs, table = _fs_and_path(spark, path)

@@ -220,3 +220,142 @@ def test_batch_greedy_token_counts_long_tokens():
     got = batch_greedy_token_counts(texts, vl, ml)
     want = np.array([greedy_token_count(t, set(vl), ml) for t in texts])
     assert np.array_equal(got, want)
+
+
+def test_hf_token_counts_seam(spark, tmp_path):
+    """hf_token_counts: Spark-side plumbing (broadcast tokenizer json,
+    mapInPandas, encode_batch per Arrow batch) exercised end-to-end
+    against a stub `tokenizers` module shipped to the workers via
+    addPyFile — the real package is absent in this container, so the
+    integration test proper is skipped-if-absent below."""
+    import sys
+
+    from kmertools_spark.functions import hf_token_counts
+
+    stub = tmp_path / "tokenizers.py"
+    stub.write_text(
+        '''
+import json
+
+class _Enc:
+    def __init__(self, ids):
+        self.ids = ids
+
+class Tokenizer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    @staticmethod
+    def from_str(s):
+        return Tokenizer(json.loads(s))
+
+    def encode_batch(self, texts, add_special_tokens=False):
+        # whitespace "tokenizer": deterministic, vocab-independent
+        return [_Enc(t.split()) for t in texts]
+'''
+    )
+    spark.sparkContext.addPyFile(str(stub))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        texts = ["one two three", "", "a b", "single"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.n_tok
+            for r in hf_token_counts(docs, '{"model": "stub"}').collect()
+        }
+        assert got == {0: 3, 1: 0, 2: 2, 3: 1}
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("tokenizers", None)
+
+
+def test_hf_token_counts_requires_package(spark):
+    """Clean ImportError (not a worker-side stack bomb) when the
+    optional dependency is missing."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from kmertools_spark.functions import hf_token_counts
+
+    if importlib.util.find_spec("tokenizers") is not None:
+        _pytest.skip("tokenizers installed; absence branch not reachable")
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ImportError, match="tokenizers"):
+        hf_token_counts(docs, "{}")
+
+
+def test_batch_greedy_wide_pack_no_int32_wrap():
+    """code-review r5 finding 1: np.left_shift(int32, w, out=int64)
+    computes in the int32 loop and wraps for w >= 17 — a >=16-char
+    alphabet with a length-5 token used to collide packs and return 1
+    token for 'qtate' vs the oracle's 5."""
+    import numpy as np
+
+    from kmertools_spark.functions import greedy_token_count
+    from kmertools_spark.functions.tokenize import batch_greedy_token_counts
+
+    letters = [chr(ord("a") + i) for i in range(20)]
+    vocab = sorted(set(letters) | {"state"})
+    ml = 5
+    texts = ["qtate", "state", "astatine state qtate", "t" * 7 + "state"]
+    got = batch_greedy_token_counts(texts, vocab, ml)
+    want = np.array([greedy_token_count(t, set(vocab), ml) for t in texts])
+    assert np.array_equal(got, want), (got, want)
+    assert got[0] == 5 and got[1] == 1  # the exact repro pair
+
+
+def test_batch_greedy_max_len_caps_matching():
+    """code-review r5 finding 4: max_len is a matching CAP exactly as
+    in the python twin — a vocab token longer than max_len never
+    matches (and must not crash the kernel)."""
+    import numpy as np
+
+    from kmertools_spark.functions import greedy_token_count
+    from kmertools_spark.functions.tokenize import batch_greedy_token_counts
+
+    vocab = ["a", "abab", "b"]
+    got = batch_greedy_token_counts(["abab", "ababab"], vocab, 2)
+    want = np.array(
+        [greedy_token_count(t, set(vocab), 2) for t in ("abab", "ababab")]
+    )
+    assert np.array_equal(got, want) and got[0] == 4
+
+
+def test_pack_null_doc_id_clear_error(spark):
+    """code-review r5: NULL (or uncastable) doc_id must fail with a
+    named cause, not an opaque TypeError in the prefix-sum build."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (None, "x y")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pack_documents(docs, capacity=4, order="hash")
+    # id-order path too (NULL survives min/max, surfaces in the
+    # prefix-sum groups); a non-numeric string id raises Spark's own
+    # ANSI cast error earlier, which is equally named
+    with pytest.raises(ValueError, match="NULL"):
+        pack_documents(docs, capacity=4, order="id")
+
+
+def test_pack_n_parts_validated(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_parts"):
+            pack_documents(docs, capacity=4, n_parts=bad)
+
+
+def test_prep_zero_thresholds_are_noops(spark):
+    """code-review r5: min_rep=0.0 (and min_quality=0.0) must keep
+    docs whose feature is NULL (repetition_ratio is NULL under 4
+    normalized chars) — a zero threshold skips the predicate."""
+    from kmertools_spark.operators import prep_filter
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    kept = prep_filter(docs, min_quality=0.0, min_rep=0.0, min_tokens=1)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 2}, ids  # 'hi' has NULL rep yet must survive
