@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .timeutil import epoch_ms
+from .timeutil import epoch_ms, guard_null_ts
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -95,9 +95,15 @@ def _window_matrix(
     if mode == "turns":
         lo = np.maximum(np.arange(t) - (n_turns - 1), 0)
     elif mode == "time":
+        guard_null_ts(pdf["__ts_ms"], "rolling_turn_vectors(mode='time')")
         ts = pdf["__ts_ms"].to_numpy(dtype=np.int64)
-        # window = rows with ts in [ts_i - time_ms, ts_i] (inclusive,
-        # rangeBetween(-time_ms, 0) semantics); ts is non-decreasing
+        # window = rows of this conversation with ts in
+        # [ts_i - time_ms, ts_i], ROW-bounded at the current turn: an
+        # equal-ts peer row AFTER the current turn is EXCLUDED (the
+        # leakage-safe rule the tests pin). This intentionally differs
+        # from SQL RANGE BETWEEN ... AND CURRENT ROW, which includes
+        # all frame peers sharing the current ts — do not pair this
+        # operator with a RANGE-framed SQL twin (code-review r5).
         lo = np.searchsorted(ts, ts - time_ms, side="left")
     elif mode == "session":
         sess = pdf["session_seq"].to_numpy()
@@ -350,14 +356,7 @@ def backfill_features_stream(
             )
             idx = np.arange(B) + m
             if need_ts:
-                if pdf["__ts_ms"].isna().any():
-                    raise ValueError(
-                        "backfill_features_stream: NULL ts encountered — "
-                        "to_numpy(int64) would silently turn it into "
-                        "INT64_MIN and corrupt session/time windows; drop "
-                        "or impute NULL-ts rows upstream (the SQL "
-                        "sessionize path defines their semantics)"
-                    )
+                guard_null_ts(pdf["__ts_ms"], "backfill_features_stream")
                 ts = pdf["__ts_ms"].to_numpy(dtype=np.int64)
             if mode == "turns":
                 lo = np.maximum(seg_starts_full[seg_of_row], idx - (n_turns - 1))

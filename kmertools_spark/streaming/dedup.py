@@ -102,7 +102,11 @@ def streaming_lsh_candidates(
             F.col(ts_col).alias("ts"),
             minhash_sig(width)(F.col(text_col)).alias("sig"),
         )
-        .where(F.col("sig").isNotNull())
+        # NULL (or non-castable) ids must not reach the stateful stage:
+        # pandas' astype('int64') on the resulting NaN raises
+        # IntCastingNaNError inside fn and one bad document would kill
+        # the whole unattended query (code-review r5)
+        .where(F.col("sig").isNotNull() & F.col("doc_id").isNotNull())
     )
     from ..functions.hashing import band_key_struct
 

@@ -31,8 +31,11 @@ def streaming_sessionize(
     gap is applied at MILLISECOND precision — int() used to truncate
     fractional seconds, and gap_seconds=0.5 became the rejected
     "0 seconds". session_window's merge rule is inclusive (windows
-    merge when diff <= gap, verified empirically), which matches batch
-    sessionize's strict `diff > gap` split exactly.
+    merge when diff <= gap), which matches batch sessionize's strict
+    `diff > gap` split exactly — the empirical evidence is
+    test_streaming_sessionize_ntz_and_exact_gap_boundary, which pins
+    a diff == gap event into the SAME session with the raw gap passed
+    through.
     """
     gap_ms = int(gap_seconds * 1000)
     if gap_ms <= 0:

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.composition import _pos_map
+from ..operators.timeutil import guard_null_ts
 from ..oracle.kernels import composition_matrix
 
 _OUT = StructType(
@@ -110,6 +111,10 @@ def rolling_vectors_stream(
             yield pd.DataFrame(columns=[f.name for f in _OUT.fields])
             return
         pdf = pd.concat(frames).sort_values("turn_idx").reset_index(drop=True)
+        # NaT would silently become INT64_MIN in the epoch casts below,
+        # wrapping the gap math AND poisoning persisted last_ts for
+        # every later micro-batch (code-review r5)
+        guard_null_ts(pdf["ts"], "rolling_vectors_stream")
         if reorder:
             incoming = list(
                 zip(

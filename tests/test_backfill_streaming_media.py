@@ -247,7 +247,11 @@ def test_streaming_sessionize_ntz_and_exact_gap_boundary(spark, tmp_path):
     """code-review r4: streaming_sessionize must accept a TIMESTAMP_NTZ
     source (cast before withWatermark) and must MERGE two events exactly
     gap_seconds apart, matching batch sessionize's strict `diff > gap`
-    rule (raw session_window splits at diff == gap)."""
+    rule. This test IS the empirical evidence that Spark's raw
+    session_window merges inclusively at diff == gap (the operator
+    passes the gap through unmodified and the boundary event lands in
+    the same session) — the sessions.py docstring cites it
+    (code-review r5 resolved the two files' contradictory claims)."""
     import pandas as pd
 
     from kmertools_spark.operators import sessionize

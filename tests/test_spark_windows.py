@@ -575,3 +575,29 @@ def test_rolling_chunked_window_wider_than_chunk(spark, tdf):
     assert len(a) == len(b)
     assert (a["conv_id"] == b["conv_id"]).all()
     assert np.allclose(np.vstack(a["vec"]), np.vstack(b["vec"]), rtol=1e-12)
+
+
+def test_rolling_time_null_ts_raises(spark):
+    """code-review r5: NULL ts in mode='time' used to cast NaT to
+    INT64_MIN and return silently wrong windows; every pandas window
+    kernel now shares the guard_null_ts defense."""
+    import pandas as pd
+    import pytest
+
+    from kmertools_spark.operators import rolling_turn_vectors
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c", "c", "c"],
+            "turn_idx": [0, 1, 2],
+            "text": ["aaaa", "cccc", "gggg"],
+            "ts": pd.Series(
+                [pd.Timestamp("2024-01-01"), pd.NaT, pd.Timestamp("2024-01-01 00:10:00")]
+            ).astype("datetime64[us]"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NULL ts"):
+        rolling_turn_vectors(df, k=2, mode="time", time_seconds=600).collect()
+    # turns mode never reads ts and must still work on the same frame
+    assert rolling_turn_vectors(df, k=2, mode="turns", n_turns=2).count() == 3
