@@ -24,20 +24,24 @@ def exploded_kmers(
     text_col: str = "text",
     k: int = 4,
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    cols: tuple[str, ...] = ("pos", "fwd", "rc", "canon"),
 ) -> DataFrame:
-    """Rows (keys..., pos, fwd, rc) for every valid k-mer window.
+    """Rows (keys..., pos, fwd, rc, canon) for every valid k-mer window.
 
     Map-side only (no shuffle); OOV characters split runs exactly like
     the reference tokenizer (F1 gate, kmer/src/kmer.rs:91-99).
+
+    ``cols`` selects which value columns are EMITTED: Catalyst cannot
+    prune a mapInPandas output, so a consumer needing only ``canon``
+    (the k>12 coverage join) would otherwise ship 24 dead bytes per
+    k-mer occurrence across Arrow at the most voluminous stage of the
+    scale path (code-review r5).
     """
+    bad = set(cols) - {"pos", "fwd", "rc", "canon"}
+    if bad or not cols:
+        raise ValueError(f"cols must be non-empty from pos/fwd/rc/canon, got {cols}")
     schema = StructType(
-        _key_fields(df, keys)
-        + [
-            StructField("pos", LongType()),
-            StructField("fwd", LongType()),
-            StructField("rc", LongType()),
-            StructField("canon", LongType()),
-        ]
+        _key_fields(df, keys) + [StructField(c, LongType()) for c in cols]
     )
 
     def gen(batches):
@@ -46,17 +50,21 @@ def exploded_kmers(
             pos, f, r = kmer_windows(codes, k)
             rows = np.searchsorted(starts, pos, side="right") - 1
             out = {kk: pdf[kk].values[rows] for kk in keys}
-            out["pos"] = pos - starts[rows]
-            out["fwd"] = f.astype(np.int64)
-            out["rc"] = r.astype(np.int64)
-            # canonical min computed in the kernel's UNSIGNED dtype,
-            # then cast: at k=32 a top-bit k-mer wraps negative in
-            # int64, so a signed least(fwd, rc) downstream would pick
-            # the wrong strand — while the count table (kmer_count_pairs)
-            # takes the unsigned min, silently missing the join
-            # (code-review r4)
-            out["canon"] = np.minimum(f, r).astype(np.int64)
-            yield pd.DataFrame(out)
+            if "pos" in cols:
+                out["pos"] = pos - starts[rows]
+            if "fwd" in cols:
+                out["fwd"] = f.astype(np.int64)
+            if "rc" in cols:
+                out["rc"] = r.astype(np.int64)
+            if "canon" in cols:
+                # canonical min computed in the kernel's UNSIGNED dtype,
+                # then cast: at k=32 a top-bit k-mer wraps negative in
+                # int64, so a signed least(fwd, rc) downstream would pick
+                # the wrong strand — while the count table
+                # (kmer_count_pairs) takes the unsigned min, silently
+                # missing the join (code-review r4)
+                out["canon"] = np.minimum(f, r).astype(np.int64)
+            yield pd.DataFrame({c: out[c] for c in (*keys, *cols)})
 
     # mapInPandas is a Catalyst black box: project explicitly so column
     # pruning reaches the scan (and upstream windows over unused

@@ -43,6 +43,7 @@ from .similarity import (
     embedding_dedup_keep,
     cosine_topk_gemm,
     hyperplane_buckets,
+    hyperplane_buckets_multi,
 )
 from .skew import salted_collect_list, salted_sum, with_salt
 
@@ -85,6 +86,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_gemm",
     "hyperplane_buckets",
+    "hyperplane_buckets_multi",
     "salted_collect_list",
     "salted_sum",
     "with_salt",

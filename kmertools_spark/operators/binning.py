@@ -45,7 +45,12 @@ def record_minimisers(
     m: int = 7,
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """s2m surface: one row per record with its ordered minimizer runs."""
+    """s2m surface: one row per record WITH AT LEAST ONE minimizer run,
+    carrying its ordered runs. Records whose text is shorter than ``m``
+    (or NULL) produce no runs and therefore no row — the same records
+    the reference's seq_to_min writer skips and the q28 oracle omits;
+    left-join against the source table if empty records must survive
+    (code-review r5 aligned this contract note with the behavior)."""
     runs = exploded_minimisers(df, text_col=text_col, w=w, m=m, keys=keys)
     return (
         runs.groupBy(*keys)

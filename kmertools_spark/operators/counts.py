@@ -75,6 +75,13 @@ def coverage_features(
     """
     if strategy == "auto":
         strategy = "broadcast" if k <= 12 else "join"
+    if strategy not in ("broadcast", "join"):
+        # a typo'd strategy used to fall through to the broadcast path,
+        # which collects the whole count table to the driver — the
+        # exact OOM 'join' exists to avoid (code-review r5)
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'join', got {strategy!r}"
+        )
     if strategy == "join":
         if validate_keys:
             dup = (
@@ -124,10 +131,12 @@ def _coverage_features_join(
     from ..functions.kmers import exploded_kmers
 
     # canon, not least(fwd, rc): the canonical min must be taken in the
-    # kernel's unsigned space (k=32 values wrap negative as int64)
-    ex = exploded_kmers(df, text_col=text_col, k=k, keys=keys).select(
-        *keys, F.col("canon").alias("kmer")
-    )
+    # kernel's unsigned space (k=32 values wrap negative as int64).
+    # cols=("canon",): only the joined column crosses Arrow — pos/fwd/rc
+    # would be 24 dead bytes per occurrence at the widest stage
+    ex = exploded_kmers(
+        df, text_col=text_col, k=k, keys=keys, cols=("canon",)
+    ).select(*keys, F.col("canon").alias("kmer"))
     binned = ex.join(counts.select("kmer", "cnt"), "kmer", "left").select(
         *keys,
         F.least(

@@ -57,6 +57,28 @@ def minhash_signatures(
     )
 
 
+def cap_hot_groups(
+    df: DataFrame, group_cols: tuple[str, ...], id_col: str, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, star): the shared hot-bucket cap for every LSH path
+    (text banding here, hyperplane tables in operators/similarity —
+    code-review r5 single-sited the mechanism). Groups larger than
+    ``max_bucket`` are removed from the all-pairs join and replaced by
+    star edges (group minimum -> member): connectivity-exact, linear
+    in group size, NOT pair-exact (see lsh_candidate_pairs)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    sized = df.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "__min", F.min(id_col).over(w)
+    )
+    star = sized.where(
+        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min"))
+    ).select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+    kept = sized.where(F.col("__n") <= max_bucket).drop("__n", "__min")
+    return kept, star
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -95,17 +117,7 @@ def lsh_candidate_pairs(
 
     star = None
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-            "__min", F.min(id_col).over(w)
-        )
-        star = (
-            sized.where((F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min")))
-            .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
-        )
-        banded = sized.where(F.col("__n") <= max_bucket).select(id_col, "band", "key")
+        banded, star = cap_hot_groups(banded, ("band", "key"), id_col, max_bucket)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -13,8 +13,6 @@ from pyspark.sql import functions as F
 
 from .timeutil import epoch_ms
 
-TURN_ORDER = ("turn_idx",)
-
 
 def _conv_window():
     # asc_nulls_last on ts: Spark's default is NULLS FIRST while the
@@ -51,8 +49,13 @@ def sessionize(
     seq = F.sum(is_new).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # F.concat, not concat_ws: the oracle's `conv_id || '#' || seq`
+    # NULL-propagates, while concat_ws SKIPS a NULL conv_id and would
+    # emit '0','1',... as session ids on the Spark side only
+    # (code-review r5 — cross-engine divergence on NULL-key corpora)
     return df.withColumn(out_col, seq.cast("int")).withColumn(
-        "session_id", F.concat_ws("#", F.col("conv_id"), F.col(out_col))
+        "session_id",
+        F.concat(F.col("conv_id"), F.lit("#"), F.col(out_col).cast("string")),
     )
 
 
@@ -60,7 +63,11 @@ def lag_lead_features(
     df: DataFrame,
     cols: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Standard lag/lead turn features over (conv_id, turn_idx) order.
+    """Standard lag/lead turn features, ordered by (ts, turn_idx)
+    within each conversation — event-time order, the same ordering the
+    q04 oracle uses (NOT raw turn_idx order: a turn stamped out of
+    order follows its timestamp; code-review r5 fixed the docstring,
+    the behavior was always event-time).
 
     ``cols`` maps output names to offsets, e.g. {"prev_len": -1,
     "next_len": 1} over length(text). Also adds prev_role and

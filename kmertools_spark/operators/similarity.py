@@ -99,7 +99,10 @@ def cosine_topk_gemm(
     ``max_query_rows`` makes the small-side contract a hard error
     instead of a driver OOM (r2 VERDICT item 3): the collect is bounded
     by limit(max+1), so an oversized query set fails fast having pulled
-    at most max+1 rows.
+    at most max+1 rows. Executor peak memory is bounded by the single
+    q-by-n score matrix: the per-batch cut is a chunked argpartition
+    with explicit boundary-tie resolution, not a full lexsort (which
+    built three more q-by-n temporaries — code-review r5).
 
     Degenerate-input notes (code-review r4): a zero-norm corpus vector
     gets cos=0.0 here (clamped denominator) where the HOF plan's
@@ -148,10 +151,39 @@ def cosine_topk_gemm(
             S = (Q @ C.T) / np.maximum(np.outer(qn, cn), 1e-300)
             S[q_ids[:, None] == ids[None, :]] = -np.inf  # exclude self-pairs
             kk = min(k, n)
-            # per-batch cut: top kk by (cos desc, neighbor asc) per query
-            ordr = np.lexsort((ids[None, :].repeat(q_ids.size, 0), -S), axis=1)[:, :kk]
-            qi = np.repeat(np.arange(q_ids.size), kk)
-            ci = ordr.ravel()
+            # Per-batch cut: emit a candidate SET containing each
+            # query's true top-kk by (cos desc, neighbor asc) — the
+            # final window re-ranks globally, so per-batch order is
+            # irrelevant, only membership. argpartition on cos alone is
+            # O(n) and memory-light (the old full lexsort built -S plus
+            # a q-by-n repeated id key matrix — 3 extra q*n arrays,
+            # code-review r5); boundary ties (kth value appearing both
+            # inside and outside the selection) are resolved explicitly
+            # by smallest neighbor id, so the id-ascending tie contract
+            # stays exact. Query chunking bounds argpartition's own
+            # q-by-n index output to chunk-by-n.
+            sel_qi: list[np.ndarray] = []
+            sel_ci: list[np.ndarray] = []
+            CH = 1024
+            for c0 in range(0, q_ids.size, CH):
+                Sc = S[c0 : c0 + CH]
+                part = np.argpartition(-Sc, kk - 1, axis=1)[:, :kk]
+                vals = np.take_along_axis(Sc, part, axis=1)
+                v = vals.min(axis=1)  # kth-largest cos per query
+                n_eq_sel = (vals == v[:, None]).sum(axis=1)
+                n_eq_full = (Sc == v[:, None]).sum(axis=1)
+                for i in np.flatnonzero(n_eq_full > n_eq_sel):
+                    vi = v[i]
+                    better = np.flatnonzero(Sc[i] > vi)
+                    tied = np.flatnonzero(Sc[i] == vi)
+                    pick = tied[
+                        np.argsort(ids[tied], kind="stable")[: kk - better.size]
+                    ]
+                    part[i] = np.concatenate([better, pick])
+                sel_qi.append(c0 + np.repeat(np.arange(Sc.shape[0]), kk))
+                sel_ci.append(part.ravel())
+            qi = np.concatenate(sel_qi)
+            ci = np.concatenate(sel_ci)
             cos = S[qi, ci]
             keep = np.isfinite(cos)
             yield pd.DataFrame(
@@ -202,7 +234,20 @@ def hyperplane_buckets(
     every projection is exact int64, so buckets are bit-identical
     between Spark and the DuckDB oracle. Vectors in the same bucket are
     ANN candidates; shuffle = one exchange on bucket.
+
+    A vector containing a non-finite coordinate gets a NULL bucket and
+    therefore joins no candidates (code-review r5: the float->int64
+    cast of NaN is undefined and used to hand such vectors an
+    arbitrary-but-real bucket; NULL makes the exclusion explicit and
+    engine-portable — the same contract as cosine_topk_gemm's
+    isfinite cut).
     """
+
+    def _null_nonfinite(m: np.ndarray, vals: np.ndarray) -> pd.Series:
+        out = vals.astype(np.float64)
+        out[~np.isfinite(m).all(axis=1)] = np.nan  # NaN -> NULL long
+        return pd.Series(out)
+
     if planes == "hash":
         from ..oracle.hashing import QUANT
 
@@ -212,23 +257,84 @@ def hyperplane_buckets(
         @pandas_udf(LongType())
         def bucket(vecs: pd.Series) -> pd.Series:
             m = np.vstack(vecs.to_numpy()).astype(np.float64)
-            xq = np.floor(m * QUANT).astype(np.int64)
+            xq = np.floor(np.nan_to_num(m) * QUANT).astype(np.int64)
             bits = (xq @ signs_t) > 0
-            return pd.Series((bits @ pow2).astype(np.int64))
+            return _null_nonfinite(m, (bits @ pow2).astype(np.int64))
 
     else:
 
         @pandas_udf(LongType())
         def bucket(vecs: pd.Series) -> pd.Series:
             h = np.random.RandomState(seed).standard_normal((dim, n_planes))
-            m = np.vstack(vecs.to_numpy())
-            bits = (m.astype(np.float64) @ h) > 0
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            bits = (np.nan_to_num(m) @ h) > 0
             vals = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(
                 np.int64
             )
-            return pd.Series(vals)
+            return _null_nonfinite(m, vals)
 
     return df.withColumn("bucket", bucket(F.col(vec_col)))
+
+
+def hyperplane_buckets_multi(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    vec_col: str = "embedding",
+    seed: int = ANN_SEED,
+    planes: str = "gauss",
+    out_col: str = "buckets",
+) -> DataFrame:
+    """All ``n_tables`` LSH bucket ids in ONE pass over the vectors
+    (array<long>, one entry per table) — bit-identical to calling
+    hyperplane_buckets per table with seed+7919*t / plane_offset=
+    t*n_planes, but the source is scanned once and the kernel runs one
+    (n, dim) x (dim, tables*planes) product instead of n_tables
+    separate UDF passes (code-review r5: cosine_neardup_lsh used to
+    re-scan df per table). Non-finite vectors get a NULL array, so a
+    posexplode consumer drops them (same contract as the single-table
+    NULL bucket)."""
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def _vals(m: np.ndarray, proj_pos: np.ndarray) -> pd.Series:
+        vals = proj_pos.reshape(len(m), n_tables, n_planes) @ pow2  # (n, T)
+        ok = np.isfinite(m).all(axis=1)
+        return pd.Series(
+            [v.tolist() if o else None for v, o in zip(vals, ok)]
+        )
+
+    if planes == "hash":
+        from ..oracle.hashing import QUANT
+
+        # global plane index (t*n_planes + p) == per-table plane_offset
+        # t*n_planes, so one concatenated sign matrix reproduces every
+        # table's buckets exactly
+        signs_t = _rademacher_planes(dim, n_planes * n_tables).T  # (d, T*p)
+
+        @pandas_udf(ArrayType(LongType()))
+        def buckets(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            xq = np.floor(np.nan_to_num(m) * QUANT).astype(np.int64)
+            return _vals(m, (xq @ signs_t) > 0)
+
+    else:
+
+        @pandas_udf(ArrayType(LongType()))
+        def buckets(vecs: pd.Series) -> pd.Series:
+            h = np.concatenate(
+                [
+                    np.random.RandomState(seed + 7919 * t).standard_normal(
+                        (dim, n_planes)
+                    )
+                    for t in range(n_tables)
+                ],
+                axis=1,
+            )
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            return _vals(m, (np.nan_to_num(m) @ h) > 0)
+
+    return df.withColumn(out_col, buckets(F.col(vec_col)))
 
 
 def ann_topk_lsh(
@@ -439,37 +545,23 @@ def cosine_neardup_lsh(
     connectivity-oriented callers (embedding_dedup_keep) accept this;
     the exact gate (q45) pins max_bucket=None.
     """
-    tables = []
-    for t in range(n_tables):
-        # hash mode: table t owns plane indices [t*n_planes, (t+1)*n_planes)
-        b = hyperplane_buckets(
-            df,
-            dim,
-            n_planes,
-            vec_col,
-            seed=seed + 7919 * t,
-            planes=planes,
-            plane_offset=t * n_planes,
-        )
-        tables.append(
-            b.select(F.lit(t).alias("table"), F.col(id_col), F.col("bucket"))
-        )
-    banded = tables[0]
-    for t in tables[1:]:
-        banded = banded.unionByName(t)
+    # one vector scan + one fused projection for ALL tables (the old
+    # per-table loop re-scanned df and re-ran the UDF n_tables times);
+    # posexplode drops the NULL arrays of non-finite vectors, so they
+    # neither form a NULL cap-window group (star edges between
+    # unrelated NaN vectors) nor reach the equi-join
+    banded = hyperplane_buckets_multi(
+        df, dim, n_planes, n_tables, vec_col, seed=seed, planes=planes
+    ).select(
+        F.col(id_col),
+        F.posexplode("buckets").alias("table", "bucket"),
+    ).select(F.col("table").cast("int").alias("table"), id_col, "bucket")
 
     star = None
     if max_bucket is not None:
-        w = Window.partitionBy("table", "bucket")
-        sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-            "__min", F.min(id_col).over(w)
-        )
-        star = sized.where(
-            (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min"))
-        ).select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
-        banded = sized.where(F.col("__n") <= max_bucket).select(
-            "table", id_col, "bucket"
-        )
+        from .dedup import cap_hot_groups
+
+        banded, star = cap_hot_groups(banded, ("table", "bucket"), id_col, max_bucket)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -575,3 +575,31 @@ def test_dedup_keep_single_distinct_composition(spark):
     }
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_cosine_topk_gemm_boundary_ties_exact(spark):
+    """code-review r5: the argpartition per-batch cut must resolve
+    kth-value ties by smallest neighbor id exactly like the full-sort
+    formulation — planted duplicate vectors straddle the top-k
+    boundary so arbitrary tie selection would surface."""
+    from kmertools_spark.operators import cosine_topk, cosine_topk_gemm
+
+    base = np.eye(8, dtype=np.float64)
+    rows = []
+    # 6 identical copies of direction 0 (ids 10..15), query also dir 0:
+    # all tie at cos=1.0 and k=3 must pick ids 10,11,12
+    for i in range(6):
+        rows.append((10 + i, base[0].tolist()))
+    for i in range(5):
+        rows.append((30 + i, (base[1] * (i + 1)).tolist()))  # cos 0 to q
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(99, base[0].tolist())], "vec_id long, embedding array<double>")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_gemm(corpus, q, k=3).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(corpus, q, k=3).collect()
+    }
+    assert got == want == {(99, 1): 10, (99, 2): 11, (99, 3): 12}, (got, want)
