@@ -27,6 +27,12 @@ def _pos_map(k: int):
     return kmer_pos_maps(k)
 
 
+# worker-process-level SortedCountLookup cache for coverage_vector:
+# keyed by a build-time uuid, surviving across tasks (the whole point —
+# a closure dict resets per task)
+_LOOKUP_CACHE: dict[str, "SortedCountLookup"] = {}
+
+
 def vector_header(k: int, canonical: bool = True) -> list[str]:
     """Slot labels (ACGT strings) for the composition vector.
 
@@ -89,6 +95,8 @@ def coverage_vector(
     the reference's driver-side HashMap, coverage/src/lib.rs:82-91);
     otherwise it is captured in the closure (fine for tests).
     """
+    import uuid
+
     payload = (
         np.ascontiguousarray(count_kmers, dtype=np.int64),
         np.ascontiguousarray(count_values, dtype=np.int64),
@@ -100,15 +108,24 @@ def coverage_vector(
         # count table inside every task command ON TOP of the broadcast
         # (measured 16 MB closure for a 1M-entry table — code-review r4)
         payload = None
-    state: dict[str, SortedCountLookup] = {}
+    # cache key captured at BUILD time: a closure-local dict would be
+    # re-deserialized empty for every task, re-argsorting the whole
+    # count table per task instead of once per python worker process
+    # (code-review r5 — the module docstring promised worker-level
+    # caching the old closure never delivered)
+    cache_key = uuid.uuid4().hex
 
     @pandas_udf(ArrayType(DoubleType()))
     def _udf(texts: pd.Series) -> pd.Series:
-        if "lk" not in state:
+        lk = _LOOKUP_CACHE.get(cache_key)
+        if lk is None:
             kk, vv = bc.value if bc is not None else payload
-            state["lk"] = SortedCountLookup(kk, vv)
+            lk = SortedCountLookup(kk, vv)
+            while len(_LOOKUP_CACHE) >= 4:  # bound worker memory
+                _LOOKUP_CACHE.pop(next(iter(_LOOKUP_CACHE)))
+            _LOOKUP_CACHE[cache_key] = lk
         mat = coverage_matrix(
-            texts.tolist(), k, state["lk"], bin_size, bin_count, norm=norm
+            texts.tolist(), k, lk, bin_size, bin_count, norm=norm
         )
         return pd.Series(list(mat))
 

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from ..oracle.hashing import fingerprint_batch, minhash_batch, simhash_batch
+from ..oracle.hashing import N_PERMS, fingerprint_batch, minhash_batch, simhash_batch
 
 
 def minhash_sig(width: int = 8):
@@ -46,14 +46,25 @@ def doc_fingerprint(width: int = 16):
     return _udf
 
 
-def band_key_struct(bands: int, r: int):
+def band_key_struct(bands: int, r: int, sig_len: int = N_PERMS):
     """Exploded (band, key) structs over a ``sig`` column — the ONE
     band fold shared by batch lsh_candidate_pairs and
     streaming_lsh_candidates. Bit-identical buckets between the two are
     a documented contract (a batch replay must reproduce the streaming
     buckets), so the fold lives in exactly one place (code-review r4).
+
+    ``bands * r`` must fit the signature (``sig_len``; both callers
+    build N_PERMS-wide sigs): a band sliced past the end used to fold
+    to the empty key '', silently turning that band into an all-pairs
+    cross product over the whole corpus (code-review r5).
     """
     from pyspark.sql import functions as F
+
+    if bands < 1 or r < 1 or bands * r > sig_len:
+        raise ValueError(
+            f"band_key_struct: bands={bands} x rows_per_band={r} must be "
+            f">= 1x1 and fit the {sig_len}-element signature"
+        )
 
     return F.explode(
         F.transform(

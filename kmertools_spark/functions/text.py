@@ -32,6 +32,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def occurrences(col: Column, needle: str) -> Column:
     """Count of non-overlapping occurrences of a literal substring."""
+    if not needle:
+        # would build a divide-by-zero expression that dies mid-job
+        # under ANSI mode instead of failing at build time (r5 review)
+        raise ValueError("occurrences: needle must be a non-empty string")
     return (
         (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
         / len(needle)
@@ -123,7 +127,10 @@ def quality_score(col: Column) -> Column:
     alpha_ratio = F.when(
         n_chars > 0, alpha.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
-    return F.round(0.5 * alpha_ratio + 0.5 * F.coalesce(band, F.lit(0.0)), 6)
+    # band is non-nullable (the NULL mean_wl of an empty doc falls to
+    # the otherwise(0.0) branch) — no coalesce needed; the oracle SQL
+    # keeps its nullable CASE + coalesce shape, same values
+    return F.round(0.5 * alpha_ratio + 0.5 * band, 6)
 
 
 def normalize_text(col: Column) -> Column:

@@ -16,8 +16,11 @@ from .kernels import MINIMISER_SENTINEL
 _MAX = object()  # stands in for u64::MAX ("no active minimizer yet")
 
 
-def kmer_iter(text: str | bytes, k: int) -> list[tuple[int, int]]:
-    """Rolling (fwd, rc) k-mer pairs with OOV run reset.
+def kmer_iter_lazy(text: str | bytes, k: int):
+    """Rolling (fwd, rc) k-mer pairs with OOV run reset, yielded one at
+    a time — the streaming form backing pyapi.KmerGenerator (the
+    reference's PyO3 iterator is also lazy/single-pass; an eager list
+    would OOM on chromosome-scale inputs, code-review r5).
 
     Step-by-step port of the iterator semantics of kmer/src/kmer.rs:77-107.
     """
@@ -26,7 +29,6 @@ def kmer_iter(text: str | bytes, k: int) -> list[tuple[int, int]]:
     shift = 2 * (k - 1)
     fval = rval = 0
     run = 0
-    out = []
     for b in data:
         code = int(SEQ_NT4[b])
         if code < 4:
@@ -37,8 +39,12 @@ def kmer_iter(text: str | bytes, k: int) -> list[tuple[int, int]]:
             run = 0
         if run == k:
             run -= 1
-            out.append((fval, rval))
-    return out
+            yield (fval, rval)
+
+
+def kmer_iter(text: str | bytes, k: int) -> list[tuple[int, int]]:
+    """Eager list form of kmer_iter_lazy (oracle/test convenience)."""
+    return list(kmer_iter_lazy(text, k))
 
 
 def minimiser_runs_imperative(

@@ -19,7 +19,7 @@ from .oracle.kernels import (
     kmer_minimiser_runs,
     minimiser_runs,
 )
-from .oracle.reference import kmer_iter
+from .oracle.reference import kmer_iter_lazy
 
 
 class OligoComputer:
@@ -80,14 +80,23 @@ class CgrComputer:
 
 
 class KmerGenerator:
-    """Iterator of (fwd, rc) k-mers (pybindings/src/kmer.rs:15-42)."""
+    """Iterator of (fwd, rc) k-mers (pybindings/src/kmer.rs:15-42).
+
+    Lazy and single-pass, like the PyO3 iterator it mirrors: nothing is
+    materialized up front (a chromosome-scale sequence streams in O(1)
+    memory), and a second ``for`` loop over the same object yields
+    nothing (code-review r5 — the old eager list was both an OOM and a
+    re-iterability divergence)."""
 
     def __init__(self, seq: str, ksize: int):
-        self._items = kmer_iter(seq, ksize)
+        self._it = kmer_iter_lazy(seq, ksize)
         self._ksize = ksize
 
     def __iter__(self):
-        return iter(self._items)
+        return self
+
+    def __next__(self):
+        return next(self._it)
 
     def kmer_pos_maps(self):
         pos_map, pos_kmer, count = kmer_pos_maps(self._ksize)
@@ -95,14 +104,22 @@ class KmerGenerator:
 
 
 class MinimiserGenerator:
-    """Iterator of (minimiser, start, end) runs (pybindings/src/min.rs:15-48)."""
+    """Iterator of (minimiser, start, end) runs (pybindings/src/min.rs:15-48).
+
+    Single-pass like the PyO3 iterator. The runs themselves come from
+    the vectorized batch kernel (output is O(#runs), far smaller than
+    the input; the per-item laziness that matters at chromosome scale
+    is KmerGenerator's, whose output is O(#positions))."""
 
     def __init__(self, seq: str, wsize: int, msize: int):
-        self._items = minimiser_runs(seq, wsize, msize)
+        self._it = iter(minimiser_runs(seq, wsize, msize))
         self._msize = msize
 
     def __iter__(self):
-        return iter(self._items)
+        return self
+
+    def __next__(self):
+        return next(self._it)
 
     def to_acgt(self, kmer: int) -> str:
         return _n2k(kmer, self._msize)
@@ -110,13 +127,16 @@ class MinimiserGenerator:
 
 class KmerMinimiserGenerator:
     """Iterator of (minimiser, start, end, kmers) runs
-    (kmer/src/kmer_minimisers.rs:69-205)."""
+    (kmer/src/kmer_minimisers.rs:69-205). Single-pass."""
 
     def __init__(self, seq: str, wsize: int, msize: int):
-        self._items = kmer_minimiser_runs(seq, wsize, msize)
+        self._it = iter(kmer_minimiser_runs(seq, wsize, msize))
 
     def __iter__(self):
-        return iter(self._items)
+        return self
+
+    def __next__(self):
+        return next(self._it)
 
 
 def run_cli(args: list[str]) -> int:
@@ -134,6 +154,5 @@ class utils:  # noqa: N801 — module-style namespace, matches pykmertools.utils
 
     @staticmethod
     def to_numeric(kmer: str) -> tuple[int, int]:
-        if len(kmer) > 32:
-            raise ValueError("k-mer size must be <= 32")
+        # the length guard lives in codec.kmer_to_numeric (one site)
         return _k2n(kmer)

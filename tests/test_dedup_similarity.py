@@ -603,3 +603,20 @@ def test_cosine_topk_gemm_boundary_ties_exact(spark):
         for r in cosine_topk(corpus, q, k=3).collect()
     }
     assert got == want == {(99, 1): 10, (99, 2): 11, (99, 3): 12}, (got, want)
+
+
+def test_band_key_struct_rejects_overflowing_bands(spark):
+    """code-review r5: a band sliced past the signature end folded to
+    the empty key and cross-producted the whole corpus."""
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    with pytest.raises(ValueError, match="signature"):
+        lsh_candidate_pairs(sigs, bands=4, rows_per_band=8).count()
+    # more bands than permutations -> derived rows_per_band of 0
+    with pytest.raises(ValueError, match="signature"):
+        lsh_candidate_pairs(sigs, bands=17).count()

@@ -102,3 +102,23 @@ def test_utils():
     assert ktutils.to_numeric("ACGTT") == (111, 27)
     with pytest.raises(ValueError):
         ktutils.to_numeric("A" * 33)
+
+
+def test_kmer_generator_lazy_single_pass():
+    """code-review r5: generators mirror the PyO3 iterators — lazy
+    (no up-front materialization) and single-pass (exhausted after one
+    loop), unlike the old eager re-iterable list."""
+    from kmertools_spark.pyapi import KmerGenerator, MinimiserGenerator
+
+    g = KmerGenerator("ACGTACGT", 3)
+    first = list(g)
+    assert len(first) == 6
+    assert list(g) == []  # single-pass
+    # lazy: pulling one item must not require the whole sequence's
+    # output to exist — iterate a generator over a large input briefly
+    big = KmerGenerator("ACGT" * 100_000, 31)
+    it = iter(big)
+    assert next(it) is not None
+    m = MinimiserGenerator("ACGTACGTACGT", 8, 4)
+    runs = list(m)
+    assert runs and list(m) == []
