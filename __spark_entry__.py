@@ -5,9 +5,11 @@ training-data-pipeline additions); each callable (spark, sf_dir) runs
 the real engine code from kmertools_spark. `oracle_sql()` — the DuckDB
 twins (kmertools_spark/oracle/sql_queries.py); Spark and SQL share the
 exact transcript derivation and hash constants, so value-hashes match
-bit-for-bit — including the ANN gate rows (r30/r33/q45), which run the
-deterministic hash-plane / hash-init modes whose bucket and list
-decisions are exact int64 arithmetic on the shared constants.
+bit-for-bit — including the ANN gate rows (r30/r33/q45/q51), which run
+the deterministic hash-plane / hash-init modes whose bucket and list
+decisions are exact int64 arithmetic on the shared constants (do not
+switch any of the four back to the Gaussian/KMeans production defaults
+— no SQL twin exists for those).
 """
 
 from __future__ import annotations

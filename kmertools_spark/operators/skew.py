@@ -15,10 +15,13 @@ SALT = "__salt"
 
 
 def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
-    """Deterministic salt derived from a hash of the full row id space.
-
-    Uses monotonically_increasing_id's partition-local counter — stable
-    enough for load spreading; never used as a semantic key.
+    """Load-spreading salt in [0, n_salts) from
+    monotonically_increasing_id's partition-local counter. NOT
+    deterministic across partitionings or re-evaluations and NOT a
+    hash — never use it as a semantic or reproducibility key; it only
+    spreads a hot group's rows across reducers, and the two-phase
+    aggregations below erase it again (code-review r5 corrected the
+    docstring, which claimed a deterministic hash).
     """
     return df.withColumn(
         SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")

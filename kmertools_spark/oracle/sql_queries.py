@@ -138,7 +138,8 @@ FROM ck"""
 
     q["q08_composition_raw"] = f"""
 WITH {T}, {K4},
-ck AS (SELECT conv_id, turn_idx, fwd AS kmer, CAST(count(*) AS DOUBLE) AS cnt
+ck AS (SELECT conv_id, turn_idx, CAST(fwd AS BIGINT) AS kmer,
+              CAST(count(*) AS DOUBLE) AS cnt
        FROM kmers GROUP BY conv_id, turn_idx, fwd)
 SELECT conv_id, turn_idx, kmer,
   cnt / greatest(1.0, 2.0 * sum(cnt) OVER (PARTITION BY conv_id, turn_idx)) AS freq

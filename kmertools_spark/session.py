@@ -42,4 +42,20 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # getOrCreate silently reuses a live session, applying only
+    # runtime-settable confs — a bench/harness asking for local[8]
+    # while a local[4] fixture session exists would run with the wrong
+    # parallelism and no error (code-review r5): surface it loudly
+    actual = spark.sparkContext.master
+    if actual != master:
+        import warnings
+
+        warnings.warn(
+            f"get_spark({app_name!r}): reusing existing SparkSession with "
+            f"master={actual!r}; the requested master={master!r} (and any "
+            "static confs like driver memory) were NOT applied",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark

@@ -148,8 +148,11 @@ def synth_transcripts_pdf(
     ``skew_factor`` > 0 gives conversation 0 ``skew_factor * mean_turns``
     turns (the heavy-tail fixture). Timestamps are monotone per conv
     with gaps drawn to straddle ``gap_seconds`` so sessionization splits
-    deterministically; exact-duplicate timestamps are injected across
-    turns and conversations (leakage tie-break fixture).
+    deterministically; ~5% of turns repeat the PREVIOUS turn's timestamp
+    WITHIN a conversation (the leakage tie-break fixture). Equal
+    timestamps across different conversations are possible but only
+    coincidental — tests needing a cross-conversation tie must build it
+    explicitly (code-review r5 corrected the overstated claim).
     """
     rng = np.random.RandomState(seed)
     turns = rng.poisson(mean_turns, size=n_convs).clip(min=1)
@@ -169,9 +172,13 @@ def synth_transcripts_pdf(
     dup = (rng.random(n) < 0.05) & (tidx > 0)
     gaps[dup] = 0
     base = rng.randint(0, 10_000, size=n_convs)[conv] * 1000
-    ts_s = base + np.concatenate(
-        [np.cumsum(gaps[conv == c]) for c in range(n_convs)]
-    )
+    # grouped cumsum in O(n): the old per-conversation mask loop was
+    # O(n_convs * n) — minutes of single-threaded generation at
+    # scaling-bench shapes (code-review r5); integer math, so this is
+    # bit-identical to np.cumsum(gaps[conv == c]) per conversation
+    cs = np.cumsum(gaps)
+    first = np.concatenate([[0], np.cumsum(turns)])[:-1]
+    ts_s = base + (cs - (cs - gaps)[first][conv])
     nwords = rng.randint(0, 6, size=n)
     widx = rng.randint(0, len(_WORDS), size=(n, 5))
     texts = [

@@ -20,9 +20,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# the ONE base-table registry (duplicating the list here once cost a
+# lockstep edit per new driver table — code-review r5)
+from kmertools_spark.sources.transcripts import BASE_TABLES as TABLES  # noqa: E402
 
 
 def duck_connection(sf_dir: str):
@@ -46,7 +46,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # (xxhash64-scale ints would be lossy past 2^53) and keeps
             # int-vs-float dtype mismatches visible in compare()
             df[c] = df[c].astype("Int64")
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    # Sort rows by the NON-float columns first, then by floats ROUNDED
+    # to the comparison tolerance: sorting on exact floats could align
+    # the two engines' rows differently whenever two rows' floats sit
+    # within the 1e-9 tolerance of each other, producing spurious
+    # mismatches in every other column (code-review r5).
+    float_cols = [c for c in df.columns if df[c].dtype.kind == "f"]
+    keyframe = df[[c for c in df.columns if c not in float_cols]].copy()
+    for c in float_cols:
+        keyframe[f"__s_{c}"] = df[c].round(9)
+    order = keyframe.sort_values(list(keyframe.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
@@ -56,6 +66,20 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     if sorted(a.columns) != sorted(b.columns):
         problems.append(f"columns spark={sorted(a.columns)} duck={sorted(b.columns)}")
         return problems
+    if problems:
+        return problems
+    # exact integer-width parity BEFORE normalize widens to Int64: the
+    # driver gate compares dtypes exactly (CLAUDE.md: CAST counts to
+    # BIGINT), so an int32-vs-int64 drift must fail HERE, not only on
+    # the driver (code-review r5)
+    for c in sorted(a.columns):
+        if pd.api.types.is_integer_dtype(a[c]) and pd.api.types.is_integer_dtype(b[c]):
+            aw = a[c].dtype.itemsize
+            bw = b[c].dtype.itemsize
+            if aw != bw:
+                problems.append(
+                    f"col {c} int width spark={a[c].dtype} duck={b[c].dtype}"
+                )
     if problems:
         return problems
     a, b = normalize(a), normalize(b)
@@ -108,6 +132,13 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter used to skip everything and print a SILENT
+        # green "FAILURES: 0" (code-review r5)
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -138,6 +169,10 @@ def main() -> int:
                 print(f"  {p}")
         else:
             print(f"OK   {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            if len(sdf) == 0:
+                # both engines agreeing on ZERO rows proves nothing
+                # about the operator — surface it (code-review r5)
+                print(f"  WARN {name}: oracle compare passed on 0 rows")
     spark.stop()
     print("FAILURES:", failures)
     return 1 if failures else 0
