@@ -70,13 +70,8 @@ def cmd_comp_oligo(a) -> int:
         )
     write_vectors_text(
         out, a.output, vec_col="vec", order_col="n",
-        delim=_DELIM[a.preset], norm=norm,
+        delim=_DELIM[a.preset], norm=norm, header=header,
     )
-    if header is not None:
-        with open(a.output) as f:
-            body = f.read()
-        with open(a.output, "w") as f:
-            f.write(header + "\n" + body)
     return 0
 
 
@@ -171,7 +166,10 @@ def cmd_cov(a) -> int:
         if a.alt_input
         else df
     )
-    counts = global_kmer_counts(kmer_src, k=a.k_size)
+    # cache: the count aggregation (the dominant scan at large k) is
+    # consumed twice — the kmers.counts dump AND coverage_features'
+    # broadcast/join — and used to recompute in full (code-review r5)
+    counts = global_kmer_counts(kmer_src, k=a.k_size).cache()
     os.makedirs(a.output, exist_ok=True)
     with open(os.path.join(a.output, "kmers.counts"), "w") as f:
         for r in counts.orderBy("kmer").collect():
@@ -187,6 +185,7 @@ def cmd_cov(a) -> int:
         cov, os.path.join(a.output, "kmers.vectors"),
         vec_col="cov_vec", order_col="n", delim=_DELIM[a.preset], norm=norm,
     )
+    counts.unpersist()
     return 0
 
 

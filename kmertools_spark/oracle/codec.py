@@ -26,8 +26,15 @@ __all__ = [
 
 # 256-entry byte -> 2-bit code table; 4 == OOV/ambiguous.
 # Semantics match kmer/src/kmer.rs:6-15 (A=0, C=1, G=2, T=3, U=3,
-# case-insensitive, everything else 4).
+# case-insensitive, everything else 4) INCLUDING the minimap2 quirk the
+# table inherits: raw bytes 0x00-0x03 map to codes 0-3 (pre-2-bit-
+# encoded input is accepted as-is). Code-review r5 — the engine used to
+# treat those bytes as OOV, silently diverging from the reference on
+# any input containing them. The char-based DuckDB oracle treats them
+# as OOV, so oracle validity now requires corpora free of bytes
+# 0x00-0x03 as well as non-ASCII (tests/test_ascii_boundary.py).
 SEQ_NT4 = np.full(256, 4, dtype=np.uint8)
+SEQ_NT4[0:4] = (0, 1, 2, 3)
 for _ch, _code in (("A", 0), ("C", 1), ("G", 2), ("T", 3), ("U", 3)):
     SEQ_NT4[ord(_ch)] = _code
     SEQ_NT4[ord(_ch.lower())] = _code
@@ -108,16 +115,32 @@ def kmer_to_numeric(kmer: str) -> tuple[int, int]:
     can even carry past the 2k mask exactly as Rust's u64 arithmetic
     does. Only the Python binding's length check raises
     (pybindings/src/kmer.rs:56-65).
+
+    Mixed units, faithfully mirrored (code-review r5): the reference
+    computes shift/mask/length from `kmer.len()` — BYTE length — while
+    iterating `kmer.chars()`; for pure ASCII the two coincide, for
+    chars U+0080-U+00FF they intentionally diverge here exactly as in
+    Rust, and a char above U+00FF raises (the reference's
+    `SEQ_NT4_TABLE[c as usize]` panics on the out-of-bounds index).
+    An empty k-mer returns (0, 0) rather than mirroring the
+    reference's `len() - 1` usize-underflow panic.
     """
-    if len(kmer) > 32:
+    nbytes = len(kmer.encode("utf-8"))
+    if nbytes > 32:
         raise ValueError("k-mer size must be <= 32")
-    codes = encode_bytes(kmer.encode("utf-8"))
     fval = 0
     rval = 0
-    shift = 2 * (len(kmer) - 1)
-    mask = (1 << (2 * len(kmer))) - 1
+    shift = 2 * (nbytes - 1)
+    mask = (1 << (2 * nbytes)) - 1
     u64 = (1 << 64) - 1
-    for c in codes:
-        fval = ((fval << 2) | int(c)) & mask
-        rval = ((rval >> 2) | ((int(c) ^ 3) << shift)) & u64
+    for ch in kmer:
+        o = ord(ch)
+        if o > 0xFF:
+            raise ValueError(
+                f"invalid k-mer character {ch!r} (the reference panics: "
+                "SEQ_NT4_TABLE index out of bounds)"
+            )
+        c = int(SEQ_NT4[o])
+        fval = ((fval << 2) | c) & mask
+        rval = ((rval >> 2) | ((c ^ 3) << shift)) & u64
     return fval, rval

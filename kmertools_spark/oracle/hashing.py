@@ -117,8 +117,18 @@ def batch_shingle_hashes(
     if len(bs) > 1:
         np.cumsum(lens[:-1] + 1, out=starts[1:])
     data = np.frombuffer(joined, dtype=np.uint8)
-    windows = np.lib.stride_tricks.sliding_window_view(data, width).astype(np.int64)
-    h = (windows @ pow_vector(width)) % MOD
+    # chunked matmul: a single .astype of the full window view costs
+    # width*8 bytes of RAM per input byte (a 10 MB batch at width=16 is
+    # a 1.3 GB dense matrix in every python worker — code-review r5);
+    # chunking bounds the dense copy to ~32 MB while keeping the BLAS
+    # inner loop
+    wview = np.lib.stride_tricks.sliding_window_view(data, width)
+    n_win = wview.shape[0]
+    pv = pow_vector(width)
+    h = np.empty(n_win, dtype=np.int64)
+    ch = 1 << 18
+    for s in range(0, n_win, ch):
+        h[s : s + ch] = (wview[s : s + ch].astype(np.int64) @ pv) % MOD
     p = np.arange(h.size, dtype=np.int64)
     rows = np.searchsorted(starts, p, side="right") - 1
     ok = (p + width) <= (starts[rows] + lens[rows])

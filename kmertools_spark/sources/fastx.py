@@ -121,17 +121,22 @@ def write_vectors_text(
     order_col: str = "n",
     delim: str = " ",
     norm: bool = True,
+    header: str | None = None,
 ) -> None:
     """Delimited text sink with the reference's float format (S5/S6).
 
     Lines ordered by ``order_col`` (the determinism the reference gets
     from mmap offsets, composition/src/oligo.rs:215-218, we get from a
     sort); floats printed {:.6f} (NUMBER_SIZE-2, oligo.rs:134),
-    raw counts printed bare. Driver-side writer — used only for
+    raw counts printed bare. ``header`` (the -H line) is written first,
+    streamed with the body — the CLI used to rewrite the whole file to
+    prepend it (code-review r5). Driver-side writer — used only for
     byte-identical golden comparisons against the reference corpus.
     """
     rows = df.orderBy(order_col).select(vec_col).collect()
     with open(path, "w") as f:
+        if header is not None:
+            f.write(header + "\n")
         for r in rows:
             vals = r[0]
             if norm:

@@ -107,6 +107,19 @@ def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     return tiled.reshape(height, width, 3)
 
 
+def _safe_decode(p, m) -> np.ndarray:
+    """NULL-tolerant decode: a row with NULL payload/meta (or
+    non-positive dims) yields a deterministic 1x1 black placeholder
+    instead of a TypeError that kills the whole job — the module's
+    one-bad-blob contract covered only the corrupt-codec path before
+    (code-review r5)."""
+    w = int(m["width"]) if m is not None and m["width"] else 0
+    h = int(m["height"]) if m is not None and m["height"] else 0
+    if p is None or w < 1 or h < 1:
+        return np.zeros((1, 1, 3), dtype=np.uint8)
+    return _decode_rgb(bytes(p), w, h)
+
+
 def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
     """Per-media feature vector: channel-mean + byte histogram.
 
@@ -134,8 +147,7 @@ def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
             # that has them). Everything below is one vectorized pass
             # over the concatenated pixels of the whole Arrow batch.
             imgs = [
-                _decode_rgb(bytes(p), m["width"], m["height"])
-                for p, m in zip(pdf["payload"], metas)
+                _safe_decode(p, m) for p, m in zip(pdf["payload"], metas)
             ]
             sizes = np.fromiter((im.size for im in imgs), dtype=np.int64, count=k)
             flat = np.concatenate([im.ravel() for im in imgs])
@@ -166,7 +178,9 @@ def media_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(gen, schema)
+    # select() before the Python boundary (CLAUDE.md invariant): a
+    # caller's widened frame must not ship extra columns through Arrow
+    return df.select("media_id", "kind", "payload", "meta").mapInPandas(gen, schema)
 
 
 def media_resize(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
@@ -197,7 +211,7 @@ def media_resize(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
                 continue
             out_payload = []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                img = _decode_rgb(bytes(p), m["width"], m["height"])
+                img = _safe_decode(p, m)
                 ys = (np.arange(out_h) * img.shape[0] // out_h).astype(np.int64)
                 xs = (np.arange(out_w) * img.shape[1] // out_w).astype(np.int64)
                 out_payload.append(img[ys[:, None], xs[None, :]].tobytes())
@@ -220,11 +234,20 @@ def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
     Pure JVM expressions (sequence + explode); the per-frame decode
     would plug into media_features downstream.
     """
-    return df.where(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
-        ).alias("frame_idx"),
+    # n_frames <= 0 (or NULL) must emit zero frames, not throw: with a
+    # positive step, sequence(0, -1, every) raises Illegal sequence
+    # boundaries and kills the job on one corrupt clip (code-review r5)
+    return (
+        df.where(
+            (F.col("kind") == "video")
+            & (F.coalesce(F.col("meta.n_frames"), F.lit(0)) > 0)
+        )
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+            ).alias("frame_idx"),
+        )
     )
 
 
@@ -258,7 +281,7 @@ def audio_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
                 continue
             waves = []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)  # NULL clip -> empty wave
                 waves.append(
                     np.frombuffer(b[: len(b) & ~1], dtype="<i2").astype(
                         np.float64

@@ -100,3 +100,34 @@ def test_empty_and_none_rows():
     pos, f, r = kmer_windows(codes, 2)
     assert pos.tolist() == [2]
     assert f.tolist() == [1]
+
+
+def test_seq_nt4_minimap2_raw_byte_quirk():
+    """code-review r5: the reference's SEQ_NT4_TABLE (minimap2) maps
+    raw bytes 0x00-0x03 to codes 0-3 (pre-encoded input accepted
+    as-is); the engine table must carry the same quirk or composition
+    vectors silently diverge on such inputs."""
+    from kmertools_spark.oracle.codec import SEQ_NT4, kmer_to_numeric
+
+    assert SEQ_NT4[:4].tolist() == [0, 1, 2, 3]
+    assert kmer_to_numeric("\x00\x01\x02\x03") == kmer_to_numeric("ACGT")
+
+
+def test_kmer_to_numeric_reference_unit_mix():
+    """code-review r5: the reference computes shift/mask/length from
+    kmer.len() (BYTES) while iterating chars() — for U+0080-U+00FF
+    these diverge on purpose, and a char past U+00FF raises (the Rust
+    table index panics)."""
+    import pytest
+
+    from kmertools_spark.oracle.codec import kmer_to_numeric
+
+    # 'é' = 2 utf-8 bytes: shift=2, mask=0b1111, ONE char iteration of
+    # OOV code 4 -> fval=4, rval=(4^3)<<2=28 (hand-checked vs lib.rs)
+    assert kmer_to_numeric("é") == (4, 28)
+    with pytest.raises(ValueError, match="invalid k-mer character"):
+        kmer_to_numeric("中")
+    # byte-length guard: 17 two-byte chars = 34 bytes > 32
+    with pytest.raises(ValueError, match="<= 32"):
+        kmer_to_numeric("é" * 17)
+    assert kmer_to_numeric("") == (0, 0)  # documented non-panic edge
