@@ -88,16 +88,23 @@ def shingle_cte(width: int, src: str = "documents", id_col: str = "doc_id") -> s
 """
 
 
+def minhash_sig_cte() -> str:
+    """The ``sig`` CTE alone (MinHash signature per (doc, perm)) — the
+    ONE copy of the permutation formula, shared by the banding chain
+    and q16 (code-review r5: q16 used to re-inline it)."""
+    return f"""sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
+  FROM sh CROSS JOIN {perm_values()}
+  GROUP BY doc_id, perm
+)"""
+
+
 def minhash_banded_ctes(rows_per_band: int = 4) -> str:
     """``sig`` + ``banded`` + ``cand`` CTEs over a ``sh`` shingle CTE —
     the MinHash banding chain shared by the LSH queries (q17/q19/q32).
     ``cand`` is the distinct (id_a, id_b) candidate-pair set."""
     return f"""
-sig AS (
-  SELECT doc_id, perm, min((a * h + b) % {MOD}) AS sig
-  FROM sh CROSS JOIN {perm_values()}
-  GROUP BY doc_id, perm
-),
+{minhash_sig_cte()},
 banded AS (
   SELECT doc_id, perm // {rows_per_band} AS band,
     string_agg(CAST(sig AS VARCHAR), '_' ORDER BY perm) AS key

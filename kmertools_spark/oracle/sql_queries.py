@@ -11,12 +11,14 @@ from __future__ import annotations
 
 from ..functions.text import LANG_MARKERS
 from ..sources.transcripts import PROBES_SQL, TRANSCRIPTS_SQL
+from .hashing import SIMHASH_BITS
 from .sql import (
     MOD,
     decode_expr,
     gram_cte,
     kmer_cte,
     minhash_banded_ctes,
+    minhash_sig_cte,
     minimiser_spans_ctes,
     perm_values,
     shingle_cte,
@@ -91,6 +93,28 @@ def _lang_case_sql() -> str:
         conds = [f"{lg} >= {m}" for m in _LANGS[i + 1 :]] + [f"{lg} > 0"]
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
     return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+# Shared fragments, single-sited (code-review r5): the 4-gram
+# Jaccard-verify chain (q19/q42), its rounded ratio expression, and
+# the portable-regex normalizer (q48 + the prep CTEs).
+_JACC_CTES = """g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
+        FROM documents) _
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN g a ON a.doc_id = c.id_a
+  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
+)"""
+_JACC_EXPR = "round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)"
+_NORM_EXPR = r"""trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
+                        ' +', ' ', 'g'))"""
 
 
 def build() -> dict[str, str]:
@@ -226,18 +250,19 @@ SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dup
 FROM documents GROUP BY text"""
 
     q["q16_minhash"] = f"""
-WITH sh AS ({shingle_cte(8)})
-SELECT doc_id, CAST(perm AS INT) AS perm,
-  CAST(min((a * h + b) % {MOD}) AS BIGINT) AS sig
-FROM sh CROSS JOIN {perm_values()}
-GROUP BY doc_id, perm"""
+WITH sh AS ({shingle_cte(8)}),
+{minhash_sig_cte()}
+SELECT doc_id, CAST(perm AS INT) AS perm, CAST(sig AS BIGINT) AS sig
+FROM sig"""
 
     q["q17_lsh_candidates"] = f"""
 WITH sh AS ({shingle_cte(8)}),
 {minhash_banded_ctes(4)}
 SELECT id_a, id_b FROM cand"""
 
-    bits_values = ", ".join(f"({b}, {2 ** b})" for b in range(16))
+    # SIMHASH_BITS from the kernel module, not a bare 16: every other
+    # shared constant regenerates the twins in lockstep (code-review r5)
+    bits_values = ", ".join(f"({b}, {2 ** b})" for b in range(SIMHASH_BITS))
     q["q18_simhash"] = f"""
 WITH sh AS ({shingle_cte(8)}),
 bits AS (
@@ -251,26 +276,13 @@ SELECT doc_id, CAST(sum(bit * p) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
     q["q19_jaccard"] = f"""
 WITH sh AS ({shingle_cte(8)}),
 {minhash_banded_ctes(4)},
-g AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
-  FROM (SELECT doc_id, text,
-               unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
-        FROM documents) _
-),
-sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS i
-  FROM cand c
-  JOIN g a ON a.doc_id = c.id_a
-  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
-  GROUP BY c.id_a, c.id_b
-)
+{_JACC_CTES}
 SELECT id_a, id_b,
-  round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+  {_JACC_EXPR} AS jaccard
 FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
-WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.4"""
+WHERE {_JACC_EXPR} >= 0.4"""
 
     q["q20_ann_topk"] = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
@@ -391,8 +403,7 @@ WHERE {sample_sql_hash('doc_id')} < {_rate_case}"""
 
     _prep_ctes = rf"""nrm AS (
   SELECT doc_id,
-    trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
-                        ' +', ' ', 'g')) AS norm
+    {_NORM_EXPR} AS norm
   FROM documents
 ),
 base AS (
@@ -524,11 +535,10 @@ WHERE f.q >= 0.5 AND r.rep >= 0.3 AND f.n_tok >= 5
 
     # q48: portable-regex normalizer (no \\s — Java and RE2 disagree on
     # its class); DuckDB needs the 'g' flag for replace-all
-    q["q48_normalize_text"] = r"""
+    q["q48_normalize_text"] = rf"""
 WITH n AS (
   SELECT doc_id,
-    trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
-                        ' +', ' ', 'g')) AS norm
+    {_NORM_EXPR} AS norm
   FROM documents
 )
 SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars FROM n"""
@@ -750,9 +760,13 @@ SELECT DISTINCT id_a, id_b FROM (
     from ..operators.sampling import MOD as _SMOD
     from ..operators.sampling import SAMPLE_A, SAMPLE_B
 
+    # sample_sql_hash, NOT an inlined copy: the bare `doc_id % MOD`
+    # fold is sign-preserving in DuckDB, so a negative doc_id would
+    # label every row 'train' here while Spark's pmod can say 'val'
+    # (code-review r5 — q43 predated the r4 pmod-fold fix)
     q["q43_deterministic_sample"] = f"""
 WITH h AS (
-  SELECT doc_id, (({SAMPLE_A} * (doc_id % {_SMOD}) + {SAMPLE_B}) % {_SMOD}) AS hv
+  SELECT doc_id, {sample_sql_hash('doc_id')} AS hv
   FROM documents
 )
 SELECT doc_id,
@@ -763,25 +777,12 @@ FROM h"""
     q["q42_dedup_pipeline"] = f"""
 WITH RECURSIVE sh AS ({shingle_cte(8)}),
 {minhash_banded_ctes(4)},
-g AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram
-  FROM (SELECT doc_id, text,
-               unnest(range(1, CAST(length(text) - 3 AS BIGINT) + 1)) AS i
-        FROM documents) _
-),
-sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS i
-  FROM cand c
-  JOIN g a ON a.doc_id = c.id_a
-  JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
-  GROUP BY c.id_a, c.id_b
-),
+{_JACC_CTES},
 ver AS (
   SELECT id_a, id_b FROM inter
   JOIN sz sa ON sa.doc_id = id_a
   JOIN sz sb ON sb.doc_id = id_b
-  WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.4
+  WHERE {_JACC_EXPR} >= 0.4
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM ver

@@ -45,11 +45,16 @@ _TR_TO = "ACGTUacgtNACGTacgtACGNAcGtACGTACGTGC"  # V->N: OOV mid-text fixture
 # `events`. Deterministic: row_number ordered by (ts, event_id) with
 # unique event_id tiebreak. Includes empty texts, shorter-than-k texts,
 # mixed case, U chars, and OOV mid-text (FIXTURES.md §1 requirements).
+# NULLS LAST is explicit (valid in both dialects): Spark's ASC default
+# is NULLS FIRST while DuckDB's is NULLS LAST, so a NULL events.ts —
+# permitted by the schema — would renumber every turn differently on
+# the two engines without it (code-review r5; the same divergence
+# sessionize patched for its own window in r4).
 TRANSCRIPTS_SQL = f"""
 SELECT
   'conv_' || CAST(user_id AS STRING) AS conv_id,
-  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
-    AS turn_idx,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) - 1
+       AS INT) AS turn_idx,
   CASE MOD(event_id, 4) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
        WHEN 2 THEN 'tool' ELSE 'system' END AS role,
   CASE
