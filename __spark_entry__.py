@@ -90,11 +90,24 @@ def q05_kmer_counts(spark, sf_dir):
 
 
 def q06_kmer_topk(spark, sf_dir):
-    return (
+    """Top-25 k-mers with ACGT decode (P5 codec parity folded in from
+    the former q25 row — one oracle now gates both the top-k ordering
+    and the numeric->ACGT codec)."""
+    from pyspark.sql.types import StringType
+
+    from kmertools_spark.oracle.codec import numeric_to_kmer
+
+    @pandas_udf(StringType())
+    def decode(vals: pd.Series) -> pd.Series:
+        # bounded to 25 rows by the LIMIT below — not a hot path
+        return vals.map(lambda v: numeric_to_kmer(int(v), 4))
+
+    top = (
         q05_kmer_counts(spark, sf_dir)
         .orderBy(F.desc("cnt"), F.asc("kmer"))
         .limit(25)
     )
+    return top.select("kmer", decode("kmer").alias("acgt"), "cnt")
 
 
 def q07_composition(spark, sf_dir):
@@ -129,46 +142,44 @@ def q09_minimizer_w0(spark, sf_dir):
     return exploded_minimisers(_t(spark, sf_dir), w=0, m=4)
 
 
-def q10_coverage(spark, sf_dir):
+def _coverage_both(spark, sf_dir, strategy: str):
+    """A6 raw + L1-normalized histograms in ONE gated result (the former
+    q10/q37 split): both engine norm modes run, zipped per bin — one
+    oracle verifies counts AND normalization."""
     from kmertools_spark.operators import coverage_features, global_kmer_counts
 
     t = _t(spark, sf_dir)
     counts = global_kmer_counts(t, k=4)
-    cov = coverage_features(t, counts, k=4, bin_size=4, bin_count=8, norm=False)
+    kw = dict(k=4, bin_size=4, bin_count=8, strategy=strategy)
+    cov = coverage_features(t, counts, norm=False, out_col="cov_raw", **kw)
+    cov = coverage_features(cov, counts, norm=True, out_col="cov_norm", **kw)
     return (
-        cov.select("conv_id", "turn_idx", F.posexplode("cov_vec").alias("bin", "nd"))
-        .where(F.col("nd") > 0)
+        cov.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.arrays_zip("cov_raw", "cov_norm")).alias("bin", "s"),
+        )
+        .where(F.col("s.cov_raw") > 0)
         .select(
             "conv_id",
             "turn_idx",
             F.col("bin").cast("long").alias("bin"),
-            F.col("nd").cast("long").alias("n"),
+            F.col("s.cov_raw").cast("long").alias("n"),
+            F.col("s.cov_norm").alias("freq"),
         )
     )
+
+
+def q10_coverage(spark, sf_dir):
+    return _coverage_both(spark, sf_dir, strategy="broadcast")
 
 
 def q30_coverage_join(spark, sf_dir):
-    """q10's histogram through the 'join' physical strategy — the
+    """q10's histograms through the 'join' physical strategy — the
     k>12 scale path with no driver-side count table (exploded k-mers
     LEFT-join counts, conditional-sum histogram). Outputs are identical
     to the broadcast probe, so it shares q10's SQL twin."""
-    from kmertools_spark.operators import coverage_features, global_kmer_counts
-
-    t = _t(spark, sf_dir)
-    counts = global_kmer_counts(t, k=4)
-    cov = coverage_features(
-        t, counts, k=4, bin_size=4, bin_count=8, norm=False, strategy="join"
-    )
-    return (
-        cov.select("conv_id", "turn_idx", F.posexplode("cov_vec").alias("bin", "nd"))
-        .where(F.col("nd") > 0)
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("bin").cast("long").alias("bin"),
-            F.col("nd").cast("long").alias("n"),
-        )
-    )
+    return _coverage_both(spark, sf_dir, strategy="join")
 
 
 def q11_rolling_turns(spark, sf_dir):
@@ -348,10 +359,24 @@ def q16_minhash(spark, sf_dir):
 
 
 def q17_lsh_candidates(spark, sf_dir):
+    """LSH banding candidates with the hot-band cap gated alongside
+    (the former q41 row): the pair SET stays the exact uncapped banding
+    (max_bucket=None — the capped variant is connectivity-exact, not
+    pair-exact); `in_capped` flags which pairs the max_bucket=2 flood
+    control would also emit (capped pairs are a strict subset: star
+    edges are (bucket-min, member) pairs, both in the same bucket)."""
     from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
 
     sigs = minhash_signatures(_docs(spark, sf_dir))
-    return lsh_candidate_pairs(sigs, bands=4)
+    uncapped = lsh_candidate_pairs(sigs, bands=4)
+    capped = lsh_candidate_pairs(sigs, bands=4, max_bucket=2).withColumn(
+        "__c", F.lit(1)
+    )
+    return uncapped.join(capped, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce("__c", F.lit(0)).cast("int").alias("in_capped"),
+    )
 
 
 def q43_deterministic_sample(spark, sf_dir):
@@ -378,17 +403,6 @@ def q42_dedup_pipeline(spark, sf_dir):
     from kmertools_spark.operators import dedup_keep
 
     return dedup_keep(_docs(spark, sf_dir), bands=4, n=4, threshold=0.4)
-
-
-def q41_lsh_capped(spark, sf_dir):
-    """The hot-band cap under the oracle: buckets larger than
-    max_bucket=2 emit star edges to the bucket minimum instead of all
-    pairs (connectivity-exact flood control); the SQL twin replays the
-    same size-gated branch."""
-    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
-
-    sigs = minhash_signatures(_docs(spark, sf_dir))
-    return lsh_candidate_pairs(sigs, bands=4, max_bucket=2)
 
 
 def q18_simhash(spark, sf_dir):
@@ -521,21 +535,6 @@ def q24_minimizer_buckets(spark, sf_dir):
     return idx.select("mmer", F.size("postings").cast("long").alias("n_postings"))
 
 
-def q25_kmer_decode(spark, sf_dir):
-    """Top-50 k-mers with ACGT decode (P5 codec parity)."""
-    from pyspark.sql.types import StringType
-
-    from kmertools_spark.oracle.codec import numeric_to_kmer
-
-    @pandas_udf(StringType())
-    def decode(vals: pd.Series) -> pd.Series:
-        # bounded to 50 rows by the LIMIT below — not a hot path
-        return vals.map(lambda v: numeric_to_kmer(int(v), 4))
-
-    top = q05_kmer_counts(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("kmer")).limit(50)
-    return top.select("kmer", decode("kmer").alias("acgt"), "cnt")
-
-
 def q31_exploded_kmers(spark, sf_dir):
     """P1 tokenizer at row granularity: every valid window's
     (pos, fwd, rc) — the most direct oracle check of the 2-bit math."""
@@ -607,29 +606,33 @@ def q32_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, docs)
 
 
-def q37_coverage_norm(spark, sf_dir):
-    """A6's L1-normalized histogram path (q10 checks the raw counts)."""
-    from kmertools_spark.operators import coverage_features, global_kmer_counts
-
-    t = _t(spark, sf_dir)
-    counts = global_kmer_counts(t, k=4)
-    cov = coverage_features(t, counts, k=4, bin_size=4, bin_count=8, norm=True)
-    return (
-        cov.select("conv_id", "turn_idx", F.posexplode("cov_vec").alias("bin", "freq"))
-        .where(F.col("freq") > 0)
-        .select("conv_id", "turn_idx", F.col("bin").cast("long").alias("bin"), "freq")
-    )
-
-
 def q35_session_vectors(spark, sf_dir):
-    """Session-to-date composition counts, exploded — the vector form of
-    q14 with a full SQL twin (session CTE + windowed count join)."""
+    """Session-to-date composition counts AND L1-normalized frequencies,
+    exploded — the vector form of q14 with a full SQL twin (session CTE
+    + windowed count join). Both engine norm modes run (the former
+    q27 row folded in), zipped per slot under one oracle."""
     from kmertools_spark.operators import rolling_turn_vectors
 
     t = _t(spark, sf_dir)
-    r = rolling_turn_vectors(t, k=4, mode="session", norm=False, chunk=None)
-    return _explode_slots(spark, r, "vec", ["conv_id", "turn_idx"], "cd").select(
-        "conv_id", "turn_idx", "kmer", F.col("cd").cast("long").alias("cnt")
+    kw = dict(k=4, mode="session", chunk=None)
+    r_cnt = rolling_turn_vectors(t, norm=False, **kw).select(
+        "conv_id", "turn_idx", F.col("vec").alias("vc")
+    )
+    r_frq = rolling_turn_vectors(t, norm=True, **kw).select(
+        "conv_id", "turn_idx", F.col("vec").alias("vf")
+    )
+    j = r_cnt.join(r_frq, ["conv_id", "turn_idx"])
+    ex = j.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.arrays_zip("vc", "vf")).alias("slot", "s"),
+    ).where(F.col("s.vc") > 0)
+    return ex.join(F.broadcast(_slots(spark, 4)), "slot").select(
+        "conv_id",
+        "turn_idx",
+        "kmer",
+        F.col("s.vc").cast("long").alias("cnt"),
+        F.col("s.vf").alias("freq"),
     )
 
 
@@ -672,15 +675,6 @@ def q26_minimizer_runs(spark, sf_dir):
     from kmertools_spark.functions import exploded_minimisers
 
     return exploded_minimisers(_t(spark, sf_dir), w=8, m=5)
-
-
-def q27_rolling_session_vec(spark, sf_dir):
-    """Session-to-date L1-normalized composition vectors, exploded to
-    scalar (kmer, freq) rows (the normalized twin of q35)."""
-    from kmertools_spark.operators import rolling_turn_vectors
-
-    r = rolling_turn_vectors(_t(spark, sf_dir), k=4, mode="session", chunk=None)
-    return _explode_slots(spark, r, "vec", ["conv_id", "turn_idx"], "freq")
 
 
 def q28_record_minimisers(spark, sf_dir):
@@ -816,17 +810,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver harness gates only the FIRST 50 entries
     # (observed two rounds running: 54-query registry -> 50 rows, 58 -> 50).
-    # The registry has 52 distinct oracle-SQL strings for 50 slots, so two
-    # trades are conscious (r4 VERDICT item 1's rotation, re-audited r5):
-    #   * exact-duplicate oracles in the tail: q30<-q10, q39<-q13,
-    #     q40<-q15, q44<-q20 (alternate physical plans of a gated oracle);
-    #   * q53/q56 share q13's oracle but gate the bucketed/auto as-of
-    #     PLANS on driver hardware (the r4 skew-router ask), displacing
-    #     four unique-oracle queries to the tail: q25 (decode codec),
-    #     q27 (~q35 semantics), q37 (q10 + normalization), q41 (capped
-    #     LSH). Those four are covered ONLY by the local twin
-    #     (tests/compare_harness.py runs all 58) — if the driver window
-    #     ever grows, promote them first.
+    # r6 consolidation (r5 VERDICT item 2): the four unique-oracle tail
+    # queries were FOLDED into gated rows — q25's ACGT decode into q06,
+    # q37's normalized histogram into q10 (both norm modes, zipped),
+    # q27's normalized session vectors into q35 (ditto), q41's capped-LSH
+    # flood control into q17 (in_capped flag; capped pairs are a strict
+    # subset of the uncapped banding). The registry now carries exactly
+    # 50 distinct oracle-SQL strings in the first 50 slots; the tail is
+    # purely alternate physical plans of gated oracles (q30<-q10,
+    # q39<-q13, q40<-q15, q44<-q20), so every unique semantic is
+    # driver-gated. Adding query #51+ with a new oracle means folding or
+    # rotating again.
     return {
         "q01_transcripts_identity": q01_transcripts_identity,
         "q02_sessionize": q02_sessionize,
@@ -879,13 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_vocab_pack": q55_vocab_pack,
         "q56_asof_auto": q56_asof_auto,
         # --- tail: alternate physical plans sharing a gated oracle ---
-        "q25_kmer_decode": q25_kmer_decode,
-        "q27_rolling_session_vec": q27_rolling_session_vec,
         "q30_coverage_join": q30_coverage_join,
-        "q37_coverage_norm": q37_coverage_norm,
         "q39_asof_broadcast": q39_asof_broadcast,
         "q40_dedup_digest": q40_dedup_digest,
-        "q41_lsh_capped": q41_lsh_capped,
         "q44_ann_topk_gemm": q44_ann_topk_gemm,
     }
 

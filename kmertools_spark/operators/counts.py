@@ -50,6 +50,7 @@ def coverage_features(
     strategy: str = "auto",
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
     validate_keys: bool = True,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Attach per-row coverage histograms against a global count table.
 
@@ -65,7 +66,13 @@ def coverage_features(
         join it back. Never materializes the count table anywhere; all
         shuffles are equi-joins Spark can plan (broadcast if small, AQE
         skew-split if hot).
-    'auto' picks broadcast for k <= 12, join above. The join path needs
+    'auto' picks by the MEASURED distinct k-mer count (one count() of
+    the already-aggregated relation — cheap insurance): broadcast while
+    ``counts.count() <= broadcast_max_rows`` (default 2M rows ≈ 32 MB
+    of (kmer, cnt) pairs through the driver), join above. k alone is
+    the wrong switch (r5 VERDICT item 4): a sparse k=16 corpus
+    broadcasts fine while a dense k=12 one is 8.4M rows ≈ 134 MB — 2×
+    the default driver result cap. The join path needs
     row-identifying ``keys`` (the broadcast path does not) — duplicate
     keys would silently fan out the hist join-back with MIXED
     histograms, so ``validate_keys`` (default on) runs one column-
@@ -74,7 +81,9 @@ def coverage_features(
     upstream (e.g. a primary key) and the extra pass matters.
     """
     if strategy == "auto":
-        strategy = "broadcast" if k <= 12 else "join"
+        strategy = (
+            "broadcast" if counts.count() <= broadcast_max_rows else "join"
+        )
     if strategy not in ("broadcast", "join"):
         # a typo'd strategy used to fall through to the broadcast path,
         # which collects the whole count table to the driver — the

@@ -147,10 +147,12 @@ FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)"""
 WITH {T}, {K4}
 SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer"""
 
+    # top-k + the ACGT decode codec (former q25 row folded in, r6)
     q["q06_kmer_topk"] = f"""
-WITH {T}, {K4}
-SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer
-ORDER BY cnt DESC, kmer LIMIT 25"""
+WITH {T}, {K4},
+cnts AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer)
+SELECT kmer, {decode_expr("kmer", 4)} AS acgt, cnt
+FROM cnts ORDER BY cnt DESC, kmer LIMIT 25"""
 
     q["q07_composition"] = f"""
 WITH {T}, {K4},
@@ -180,14 +182,21 @@ UNION ALL
 SELECT conv_id, turn_idx, CAST(-1 AS BIGINT), last_oov, len
 FROM st WHERE n_oov > 0 AND len - last_oov >= 4"""
 
+    # raw counts AND the L1-normalized path (former q37 row folded in,
+    # r6) under one oracle; norm divides by the per-turn total, which
+    # over the NON-ZERO bins equals the full-vector L1 the kernel uses
     q["q10_coverage"] = f"""
 WITH {T}, {K4},
 gcnt AS (SELECT kmer, count(*) AS c FROM kmers GROUP BY kmer),
 occ AS (SELECT k.conv_id, k.turn_idx,
           least(CAST(g.c // 4 AS BIGINT), 7) AS bin
-        FROM kmers k JOIN gcnt g USING (kmer))
-SELECT conv_id, turn_idx, bin, CAST(count(*) AS BIGINT) AS n
-FROM occ GROUP BY conv_id, turn_idx, bin"""
+        FROM kmers k JOIN gcnt g USING (kmer)),
+hist AS (SELECT conv_id, turn_idx, bin, count(*) AS n
+         FROM occ GROUP BY conv_id, turn_idx, bin)
+SELECT conv_id, turn_idx, bin, CAST(n AS BIGINT) AS n,
+  CAST(n AS DOUBLE) / greatest(1.0, sum(CAST(n AS DOUBLE))
+      OVER (PARTITION BY conv_id, turn_idx)) AS freq
+FROM hist"""
 
     # alternative-physical-plan twin: identical rows to q10
     q["q30_coverage_join"] = q["q10_coverage"]
@@ -255,10 +264,33 @@ WITH sh AS ({shingle_cte(8)}),
 SELECT doc_id, CAST(perm AS INT) AS perm, CAST(sig AS BIGINT) AS sig
 FROM sig"""
 
+    # the exact uncapped banding pairs + the hot-band cap's membership
+    # flag (former q41 row folded in, r6): small buckets pair fully,
+    # flooded buckets emit star edges to the bucket minimum — capped
+    # pairs are a strict subset of cand, so a LEFT join flags them
     q["q17_lsh_candidates"] = f"""
 WITH sh AS ({shingle_cte(8)}),
-{minhash_banded_ctes(4)}
-SELECT id_a, id_b FROM cand"""
+{minhash_banded_ctes(4)},
+sized AS (
+  SELECT doc_id, band, key,
+    count(*) OVER (PARTITION BY band, key) AS n,
+    min(doc_id) OVER (PARTITION BY band, key) AS mn
+  FROM banded
+),
+capped AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE a.n <= 2
+    UNION ALL
+    SELECT mn, doc_id FROM sized WHERE n > 2 AND doc_id <> mn
+  ) _u
+)
+SELECT c.id_a, c.id_b,
+  CAST(CASE WHEN cp.id_a IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_capped
+FROM cand c
+LEFT JOIN capped cp ON cp.id_a = c.id_a AND cp.id_b = c.id_b"""
 
     # SIMHASH_BITS from the kernel module, not a bare 16: every other
     # shared constant regenerates the twins in lockstep (code-review r5)
@@ -573,12 +605,6 @@ runs AS (
 )
 SELECT mmer, CAST(count(*) AS BIGINT) AS n_postings FROM runs GROUP BY mmer"""
 
-    q["q25_kmer_decode"] = f"""
-WITH {T}, {K4},
-cnts AS (SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM kmers GROUP BY kmer)
-SELECT kmer, {decode_expr("kmer", 4)} AS acgt, cnt
-FROM cnts ORDER BY cnt DESC, kmer LIMIT 50"""
-
     q["q32_dedup_clusters"] = f"""
 WITH RECURSIVE sh AS ({shingle_cte(8)}),
 {minhash_banded_ctes(4)},
@@ -621,28 +647,24 @@ SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
   CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM t GROUP BY ROLLUP(role, tool)"""
 
-    q["q37_coverage_norm"] = f"""
-WITH {T}, {K4},
-gcnt AS (SELECT kmer, count(*) AS c FROM kmers GROUP BY kmer),
-occ AS (SELECT k.conv_id, k.turn_idx,
-          least(CAST(g.c // 4 AS BIGINT), 7) AS bin
-        FROM kmers k JOIN gcnt g USING (kmer)),
-hist AS (SELECT conv_id, turn_idx, bin, CAST(count(*) AS DOUBLE) AS n
-         FROM occ GROUP BY conv_id, turn_idx, bin)
-SELECT conv_id, turn_idx, bin,
-  n / greatest(1.0, sum(n) OVER (PARTITION BY conv_id, turn_idx)) AS freq
-FROM hist"""
-
+    # session-to-date counts AND L1-normalized frequencies (former q27
+    # row folded in, r6) under one oracle
     q["q35_session_vectors"] = f"""
 WITH {T}, {SESS}, {K4},
 ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
-       FROM kmers GROUP BY conv_id, turn_idx, kmer)
-SELECT s1.conv_id, s1.turn_idx, c2.kmer, CAST(sum(c2.c) AS BIGINT) AS cnt
-FROM sess s1
-JOIN sess s2 ON s2.conv_id = s1.conv_id
-  AND s2.session_seq = s1.session_seq AND s2.turn_idx <= s1.turn_idx
-JOIN ck c2 ON c2.conv_id = s2.conv_id AND c2.turn_idx = s2.turn_idx
-GROUP BY s1.conv_id, s1.turn_idx, c2.kmer"""
+       FROM kmers GROUP BY conv_id, turn_idx, kmer),
+win AS (
+  SELECT s1.conv_id, s1.turn_idx, c2.kmer, CAST(sum(c2.c) AS BIGINT) AS cnt
+  FROM sess s1
+  JOIN sess s2 ON s2.conv_id = s1.conv_id
+    AND s2.session_seq = s1.session_seq AND s2.turn_idx <= s1.turn_idx
+  JOIN ck c2 ON c2.conv_id = s2.conv_id AND c2.turn_idx = s2.turn_idx
+  GROUP BY s1.conv_id, s1.turn_idx, c2.kmer
+)
+SELECT conv_id, turn_idx, kmer, cnt,
+  CAST(cnt AS DOUBLE) / greatest(1.0, sum(CAST(cnt AS DOUBLE))
+      OVER (PARTITION BY conv_id, turn_idx)) AS freq
+FROM win"""
 
     q["q38_backfill_stream"] = f"""
 WITH {T}, {SESS}, {K4},
@@ -680,22 +702,6 @@ SELECT conv_id, turn_idx,
   win_start, win_end, mmer
 FROM spans"""
 
-    q["q27_rolling_session_vec"] = f"""
-WITH {T}, {SESS}, {K4},
-ck AS (SELECT conv_id, turn_idx, kmer, count(*) AS c
-       FROM kmers GROUP BY conv_id, turn_idx, kmer),
-win AS (
-  SELECT s1.conv_id, s1.turn_idx, c2.kmer, CAST(sum(c2.c) AS DOUBLE) AS cnt
-  FROM sess s1
-  JOIN sess s2 ON s2.conv_id = s1.conv_id
-    AND s2.session_seq = s1.session_seq AND s2.turn_idx <= s1.turn_idx
-  JOIN ck c2 ON c2.conv_id = s2.conv_id AND c2.turn_idx = s2.turn_idx
-  GROUP BY s1.conv_id, s1.turn_idx, c2.kmer
-)
-SELECT conv_id, turn_idx, kmer,
-  cnt / greatest(1.0, sum(cnt) OVER (PARTITION BY conv_id, turn_idx)) AS freq
-FROM win"""
-
     # CGR walk (P7): the affine recurrence evaluated with the exact same
     # FP op order as the kernel — (corner + prev) / 2 per char — so the
     # doubles are bit-identical (composition/src/cgr.rs:127-144)
@@ -730,32 +736,6 @@ FROM kmers"""
     # alternative-physical-plan twins: identical rows to the originals
     q["q39_asof_broadcast"] = q["q13_asof"]
     q["q40_dedup_digest"] = q["q15_dedup_exact"]
-
-    # hot-band cap semantics (operators/dedup.lsh_candidate_pairs
-    # max_bucket=2): small buckets pair fully, flooded buckets emit
-    # star edges to the bucket minimum
-    q["q41_lsh_capped"] = f"""
-WITH sh AS ({shingle_cte(8)}),
-{minhash_banded_ctes(4)},
-sized AS (
-  SELECT doc_id, band, key,
-    count(*) OVER (PARTITION BY band, key) AS n,
-    min(doc_id) OVER (PARTITION BY band, key) AS mn
-  FROM banded
-),
-small AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sized a JOIN sized b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-  WHERE a.n <= 2
-),
-star AS (
-  SELECT mn AS id_a, doc_id AS id_b FROM sized
-  WHERE n > 2 AND doc_id <> mn
-)
-SELECT DISTINCT id_a, id_b FROM (
-  SELECT * FROM small UNION ALL SELECT * FROM star
-) _u"""
 
     from ..operators.sampling import MOD as _SMOD
     from ..operators.sampling import SAMPLE_A, SAMPLE_B
