@@ -1,7 +1,8 @@
 """Bench harness — prints ONE JSON line with headline timings.
 
-Queries (over $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
-local[$SPARK_GRAFT_CPUS]):
+Queries (transcripts from $SPARK_GRAFT_SF_DIR, default
+/root/testdata/sf0.1; documents/embeddings from a right-sized synthetic
+corpus — see below; on local[$SPARK_GRAFT_CPUS]):
 
   backfill   sessionize + per-turn composition vectors + rolling 3-turn
              vectors for every turn (the headline turns/sec metric)
@@ -11,16 +12,35 @@ local[$SPARK_GRAFT_CPUS]):
   cgr        CGR trajectories (bit-exact FP recurrence) over all turns
   dedup      minhash signatures -> LSH candidate pairs (documents)
   ann        brute-force cosine top-k (embeddings)
+  tokenize   greedy vocab tokenizer counts (vectorized kernel)
   pack       deterministic shuffle + 256-token sequence packing
   prep       full training-prep pipeline (normalize -> quality/rep/
              token filters -> per-language sampling -> packing)
 
+Corpus right-sizing (r5 VERDICT item 1): the sf0.1 side tables are
+5k docs / 2k embeddings — at that size the five LLM-pipeline legs
+measure fixed overhead (task rounds, JIT), not data work, and a 3x
+kernel regression is invisible. The doc/embedding legs therefore run
+over a deterministic synthetic corpus of SPARK_GRAFT_BENCH_DOCS
+documents (default 100k, ~300 chars each) and SPARK_GRAFT_BENCH_EMB
+embeddings (default 50k x 64), generated once into
+$SPARK_GRAFT_BENCH_CORPUS (default <repo>/.bench_corpus) and cached as
+parquet (sources/bench_corpus.py). Set SPARK_GRAFT_BENCH_DOCS=0 to
+fall back to the sf-dir side tables.
+
+Timing protocol (r5 VERDICT item 3): after ONE untimed warm pass over
+every leg (python-worker imports, JIT/codegen settle — the dedup
+banding join needs ~2 executions, so it warms twice), the
+SPARK_GRAFT_BENCH_BEST (default 2) timed reps run INTERLEAVED
+round-robin across legs (A,B,...,A,B,...) rather than back-to-back —
+sequential best-of-N lets one host-load spike eat a whole leg's reps.
+The JSON records per-rep times and per-rep 1-min loadavg per leg, plus
+a max-min spread, so outliers are identifiable post-hoc; `queries`
+still carries the per-leg min. SPARK_GRAFT_SCALING=1 single-run mode
+is used by bench_scaling.py.
+
 All queries force full computation via the noop sink / count; nothing
-is collected to the driver. Each leg is timed best-of-N
-(SPARK_GRAFT_BENCH_BEST, default 2) — single-run numbers on a shared
-box swing 2-3x with page-cache/JIT luck, and the steady-state time is
-the one that predicts cluster throughput. SPARK_GRAFT_SCALING=1 makes
-this process emit its single-run JSON for use by bench_scaling.py.
+is collected to the driver.
 """
 
 from __future__ import annotations
@@ -61,10 +81,17 @@ def force_cols(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo_dir)
 
     from pyspark.sql import functions as F
 
+    from kmertools_spark.functions import (
+        cgr_points,
+        exploded_minimisers,
+        vocab_token_counts,
+    )
+    from kmertools_spark.functions.tokenize import DEMO_VOCAB
     from kmertools_spark.operators import (
         asof_join,
         backfill_features_stream,
@@ -73,19 +100,40 @@ def main() -> None:
         global_kmer_counts,
         lsh_candidate_pairs,
         minhash_signatures,
+        pack_documents,
+        training_prep,
     )
     from kmertools_spark.session import get_spark
     from kmertools_spark.sources import probes_df, transcripts_df
+    from kmertools_spark.sources.bench_corpus import ensure_bench_corpus
 
     # host-load context (r4 VERDICT item 6): the sandbox host is shared,
     # and a loaded box inflates every leg 2-5x — the recorded numbers
-    # are only adjudicable round-over-round with the load attached
+    # are only adjudicable with the per-rep load attached
     load_before = os.getloadavg()
     rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "1"))
+    n_docs_target = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    n_emb_target = int(os.environ.get("SPARK_GRAFT_BENCH_EMB", "50000"))
+
+    corpus_dir = None
+    if n_docs_target > 0:
+        corpus_root = os.environ.get(
+            "SPARK_GRAFT_BENCH_CORPUS", os.path.join(repo_dir, ".bench_corpus")
+        )
+        t0 = time.time()
+        corpus_dir = ensure_bench_corpus(corpus_root, n_docs_target, n_emb_target)
+        log(f"corpus: {corpus_dir} (ensure took {time.time() - t0:.1f}s)")
+
+    # 32 executor threads share the ONE local-mode JVM heap; at the
+    # right-sized corpus the suite keeps ~GBs of cached transcripts +
+    # localCheckpoint blocks + Arrow batches live, and the old 8g heap
+    # GC-thrashed the interleaved reps (cgr leg measured 1.7s isolated
+    # vs 4.7-13s mid-suite). The host has 128 GiB — size the heap like
+    # a real 32-core executor would be sized.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(
         "kmertools-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
-    timings: dict[str, float] = {}
     t_all = time.time()
 
     t = transcripts_df(spark, sf_dir)
@@ -100,54 +148,44 @@ def main() -> None:
     n_turns = t.count()
     log(f"input: {n_turns} turns from {sf_dir} (rep={rep}) on local[{cpus}]")
 
-    # partition the doc corpus by size, as a multi-file scan would be
-    # (over-splitting 5k docs across 32 workers just measures per-task
-    # overhead; at real scale maxPartitionBytes does this automatically)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the corpus is written as multi-file parquet so the SCAN itself is
+    # parallel — an explicit repartition() after a single-file scan is a
+    # TRAP: Catalyst pushes deterministic Projects/Filters below the
+    # exchange, serializing every Catalyst-expression leg onto the one
+    # scan task (measured: prep 43.6s single-file vs ~3s parallel).
+    # Repartition only the sf-dir fallback, whose side tables are
+    # single-file (and whose legs are mapInPandas-dominated, which the
+    # pushdown cannot cross).
+    doc_src = corpus_dir or sf_dir
+    docs = spark.read.parquet(f"{doc_src}/documents.parquet")
     n_docs = docs.count()
     doc_parts = max(1, min(cpus, n_docs // 2000))
-    if doc_parts > 1:
+    scan_parts = docs.rdd.getNumPartitions()
+    if scan_parts < doc_parts:
         docs = docs.repartition(doc_parts)
-
-    # Fleet warm-up: every python worker must import the kernel modules
-    # (numpy + kmertools_spark, ~2s cold) BEFORE the timed legs, or the
-    # first leg measures a 1-per-core import stampede instead of
-    # compute. Each warm pass spreads a small slice over `cpus`
-    # partitions so all workers load the module the leg will use; the
-    # tiny end-to-end dedup run additionally JIT-warms the join codegen.
-    force(backfill_features_stream(t.limit(1024).repartition(cpus), k=4, n_turns=3))
-    force(
-        lsh_candidate_pairs(
-            minhash_signatures(docs.limit(256).repartition(cpus)), bands=4
-        )
+    emb = spark.read.parquet(f"{doc_src}/embeddings.parquet")
+    n_emb = emb.count()
+    log(
+        f"docs: {n_docs} (scan {scan_parts} parts -> "
+        f"{max(scan_parts, doc_parts)}), embeddings: {n_emb}"
     )
 
-    best = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BEST", "2")))
-
-    def timed(name: str, leg) -> None:
-        took = []
-        for _ in range(best):
-            t0 = time.time()
-            leg()
-            took.append(time.time() - t0)
-        timings[name] = min(took)
-        log(f"{name}: best {timings[name]:.2f}s of {[round(x, 2) for x in took]}")
-
-    timed("backfill", lambda: force(backfill_features_stream(t, k=4, n_turns=3)))
-
+    clean_expr = F.regexp_replace("text", "[^ACGTUacgtu]", "")
     p = probes_df(spark, sf_dir).distinct()
-    # force_cols, not count: the as-of result is a Window projection —
-    # count() prunes the window AND its sort, timing nothing (r4 find)
-    timed(
-        "asof",
-        lambda: force_cols(
+
+    def backfill_leg():
+        force(backfill_features_stream(t, k=4, n_turns=3))
+
+    def asof_leg():
+        # force_cols, not count: the as-of result is a Window projection
+        # — count() prunes the window AND its sort, timing nothing
+        force_cols(
             asof_join(
                 t.withColumn("text_len", F.length("text")),
                 p,
                 value_cols=("turn_idx", "text_len"),
             )
-        ),
-    )
+        )
 
     def counts_cov_leg():
         counts = global_kmer_counts(t, k=4)
@@ -155,28 +193,13 @@ def main() -> None:
         # histogram column itself (count() would prune the UDF)
         force_cols(coverage_features(t, counts, k=4, bin_size=4, bin_count=8))
 
-    timed("counts_cov", counts_cov_leg)
+    def minruns_leg():
+        force(exploded_minimisers(t, w=8, m=5))
 
-    # the two most kernel-bound gate queries (q26/q29), tracked
-    # round-over-round; warm slices spread over all workers first so the
-    # timed legs measure the kernels, not per-core module imports
-    from kmertools_spark.functions import cgr_points, exploded_minimisers
-
-    warm = t.limit(1024).repartition(cpus)
-    clean_expr = F.regexp_replace("text", "[^ACGTUacgtu]", "")
-    force(exploded_minimisers(warm, w=8, m=5))
-    warm.select(cgr_points(1.0)(clean_expr).alias("cgr")).agg(
-        F.sum(F.size("cgr"))
-    ).collect()
-
-    timed("minruns", lambda: force(exploded_minimisers(t, w=8, m=5)))
-
-    timed(
-        "cgr",
-        lambda: t.select(cgr_points(1.0)(clean_expr).alias("cgr"))
-        .agg(F.sum(F.size("cgr")))
-        .collect(),
-    )
+    def cgr_leg():
+        t.select(cgr_points(1.0)(clean_expr).alias("cgr")).agg(
+            F.sum(F.size("cgr"))
+        ).collect()
 
     # signatures are cached before the banding self-join — otherwise the
     # join's two branches each recompute the minhash UDF over the whole
@@ -187,43 +210,66 @@ def main() -> None:
         force(lsh_candidate_pairs(sigs, bands=4))
         sigs.unpersist()
 
-    # one untimed full-size pass first: this leg's banding self-join
-    # takes ~2 executions for whole-stage codegen/JIT to settle
-    # (measured r5: reps [4.2, 4.1, 2.1, 2.1, 2.3, 1.9] — best-of-2
-    # alone records the warm-up regime, which once read as inverse
-    # scaling in the r4 table)
-    dedup_leg()
-    timed("dedup", dedup_leg)
+    def ann_leg():
+        force(cosine_topk(emb, emb.where("vec_id < 8"), k=5))
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    timed("ann", lambda: force(cosine_topk(emb, emb.where("vec_id < 8"), k=5)))
+    def tokenize_leg():
+        # count() is valid forcing — mapInPandas determines cardinality
+        force(vocab_token_counts(docs, DEMO_VOCAB))
 
-    # the training-prep pipeline legs (r3 VERDICT item 4): packing's
-    # distributed prefix sum alone, then the full normalize -> filter ->
-    # stratified-sample -> pack composition (q46/q52 shapes)
-    from kmertools_spark.operators import pack_documents, training_prep
+    def pack_leg():
+        force(pack_documents(docs, capacity=256))
 
-    # greedy vocab tokenizer (vectorized kernel, r4 VERDICT item 4):
-    # count() is valid forcing — mapInPandas determines cardinality
-    from kmertools_spark.functions import vocab_token_counts
-    from kmertools_spark.functions.tokenize import DEMO_VOCAB
-
-    force(vocab_token_counts(docs.limit(256).repartition(cpus), DEMO_VOCAB))  # warm
-    timed("tokenize", lambda: force(vocab_token_counts(docs, DEMO_VOCAB)))
-
-    timed("pack", lambda: force(pack_documents(docs, capacity=256)))
-    timed(
-        "prep",
-        lambda: force(
+    def prep_leg():
+        force(
             training_prep(
-                docs,
-                capacity=256,
-                rates={"en": 0.8},
-                default_rate=0.3,
+                docs, capacity=256, rates={"en": 0.8}, default_rate=0.3
             )
-        ),
-    )
+        )
 
+    legs = [
+        ("backfill", backfill_leg),
+        ("asof", asof_leg),
+        ("counts_cov", counts_cov_leg),
+        ("minruns", minruns_leg),
+        ("cgr", cgr_leg),
+        ("dedup", dedup_leg),
+        ("ann", ann_leg),
+        ("tokenize", tokenize_leg),
+        ("pack", pack_leg),
+        ("prep", prep_leg),
+    ]
+
+    # ONE untimed warm pass over every leg: python workers import
+    # numpy + the kernel modules (~2s/core cold — without this the
+    # first timed leg measures a per-core import stampede), and
+    # whole-stage codegen/JIT settles. The dedup banding self-join
+    # needs ~2 executions to settle (measured r5: reps
+    # [4.2, 4.1, 2.1, ...]), so it warms twice.
+    t0 = time.time()
+    for name, fn in legs:
+        fn()
+    dedup_leg()
+    log(f"warm pass: {time.time() - t0:.1f}s")
+
+    best = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BEST", "2")))
+
+    # interleaved reps (r5 VERDICT item 3): round-robin across legs so
+    # a transient load spike degrades ONE rep of many legs (visible in
+    # the per-rep arrays) instead of ALL reps of one leg
+    times: dict[str, list[float]] = {n: [] for n, _ in legs}
+    loads: dict[str, list[float]] = {n: [] for n, _ in legs}
+    for r in range(best):
+        for name, fn in legs:
+            la = os.getloadavg()[0]
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            times[name].append(dt)
+            loads[name].append(la)
+            log(f"rep {r + 1}/{best} {name}: {dt:.2f}s (load {la:.2f})")
+
+    timings = {n: min(ts) for n, ts in times.items()}
     total = time.time() - t_all
     spark.stop()
 
@@ -236,10 +282,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extras": {
             "n_turns": n_turns,
+            "n_docs": n_docs,
+            "n_embeddings": n_emb,
             "cpus": cpus,
             "turns_per_sec": round(n_turns / timings["backfill"], 1),
             "total_wall_sec": round(total, 3),
             "best_of": best,
+            "interleaved": True,
+            "per_rep": {k: [round(x, 3) for x in v] for k, v in times.items()},
+            "per_rep_load": {
+                k: [round(x, 2) for x in v] for k, v in loads.items()
+            },
+            "spread": {
+                k: round(max(v) - min(v), 3) for k, v in times.items()
+            },
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         },

@@ -82,9 +82,21 @@ def prep_filter(
         cond &= F.col("__f.q") >= min_quality
     if min_rep > 0:
         cond &= F.col("__f.rep") >= min_rep
+    # __gate is a predicate-pushdown BARRIER (r6): without it Catalyst
+    # splits the threshold conjuncts (and the later stratified-sample
+    # gate) and substitutes each through this projection, re-inlining
+    # the whole feature tree into a scan-stage Filter — the features
+    # then evaluate TWICE per surviving row, and after a single-file
+    # scan + repartition() the entire computation serializes onto the
+    # one pre-exchange task (measured 43.6s vs ~3s at 100k docs). A
+    # nondeterministic column in the project list fails Catalyst's
+    # fields.forall(_.deterministic) push-through test for EVERY filter
+    # above it, so the struct evaluates exactly once per row; the
+    # always-true __gate conjunct keeps the column referenced (column
+    # pruning would otherwise drop it and re-enable the push).
     kept = (
-        docs.select(F.col(id_col), hof.alias("__f"))
-        .where(cond)
+        docs.select(F.col(id_col), hof.alias("__f"), F.rand(0).alias("__gate"))
+        .where(cond & (F.col("__gate") >= F.lit(-1.0)))
         .select(
             id_col,
             F.col("__f.n_tok").alias("n_tok"),
