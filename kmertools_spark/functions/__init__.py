@@ -17,6 +17,7 @@ from .tokenize import (
     greedy_token_count,
     hf_token_counts,
     vocab_token_counts,
+    wordpiece_tokenizer_json,
 )
 from .text import (
     lang_guess,
@@ -50,4 +51,5 @@ __all__ = [
     "greedy_token_count",
     "hf_token_counts",
     "vocab_token_counts",
+    "wordpiece_tokenizer_json",
 ]

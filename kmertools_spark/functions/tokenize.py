@@ -124,13 +124,20 @@ _ARENA = _Arena()
 
 
 def batch_greedy_token_counts(
-    texts: list[str], vocab_list: list[str], max_len: int
+    texts: list[str], vocab_list: list[str], max_len: int,
+    _force_strategy: str | None = None,
 ) -> np.ndarray:
     """Vectorized greedy longest-match token counts for a batch of
     texts (int64 array, one count per text). Exact twin of
     ``greedy_token_count`` (hypothesis-tested), no per-character
     Python in the hot path and no per-call numpy allocations of
-    batch-sized arrays (see _Arena)."""
+    batch-sized arrays (see _Arena).
+
+    ``_force_strategy`` pins the count strategy ('lanes' or
+    'doubling') instead of the measured cost model — both are exact;
+    the knob exists so bench_skew_tokenize.py can time each side of
+    the crossover on identical inputs. Production callers leave it
+    None."""
     A = _ARENA
     ntex = len(texts)
     if ntex == 0:
@@ -293,7 +300,10 @@ def batch_greedy_token_counts(
     #    docs are short relative to the batch (the usual corpus shape).
     #  * pointer doubling: O(N log mx) full-array gathers, immune to a
     #    single whale doc dominating the round count.
-    if mx * (ntex + 4096) < 2 * rounds * (N + 4096):
+    use_lanes = mx * (ntex + 4096) < 2 * rounds * (N + 4096)
+    if _force_strategy is not None:
+        use_lanes = _force_strategy == "lanes"
+    if use_lanes:
         pos = offs[: ntex].astype(np.int32)
         pos[plens[:ntex] == 0] = N  # empty doc aliases next part's start
         out = np.zeros(ntex, dtype=np.int64)
@@ -363,6 +373,63 @@ def vocab_token_counts(
     return (
         df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
         .mapInPandas(count_batches, schema)
+    )
+
+
+def wordpiece_tokenizer_json(
+    vocab: Iterable[str],
+    unk_token: str = "[UNK]",
+    max_word_chars: int = 10_000,
+) -> str:
+    """Serialize a vocabulary to a minimal HuggingFace tokenizer.json
+    (WordPiece model, empty continuing-subword prefix, no normalizer /
+    pre-tokenizer / post-processor), suitable for
+    ``tokenizers.Tokenizer.from_str``.
+
+    WordPiece inference is the same greedy longest-match (MaxMatch)
+    scan as ``greedy_token_count``, so the two produce IDENTICAL token
+    counts whenever the scan never dead-ends — guaranteed when every
+    character of the input text has a single-character entry in the
+    vocab (on a dead end WordPiece emits one ``unk_token`` for the
+    whole remaining chunk, while the engine's kernel falls back one
+    character and keeps matching). The skipped-if-absent integration
+    test (tests/test_packing.py) pins this parity on
+    closure-alphabet corpora.
+
+    With no pre-tokenizer the whole text is one WordPiece "word", and
+    HF's scan is O(word_len) candidate prefixes per position —
+    ``max_word_chars`` caps that quadratic blowup (texts longer than
+    the cap collapse to ``unk_token``); this builder targets the
+    vendored-vocab test seam, not production throughput, where
+    ``hf_token_counts`` with a real published tokenizer.json (its own
+    pre-tokenizer included) is the path.
+    """
+    import json
+
+    toks = sorted({t for t in vocab if t})
+    if not toks:
+        raise ValueError("vocab must contain at least one non-empty token")
+    ids = {unk_token: 0}
+    for i, t in enumerate(toks, start=1):
+        ids.setdefault(t, i)
+    return json.dumps(
+        {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": [],
+            "normalizer": None,
+            "pre_tokenizer": None,
+            "post_processor": None,
+            "decoder": None,
+            "model": {
+                "type": "WordPiece",
+                "unk_token": unk_token,
+                "continuing_subword_prefix": "",
+                "max_input_chars_per_word": max_word_chars,
+                "vocab": ids,
+            },
+        }
     )
 
 

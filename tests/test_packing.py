@@ -271,6 +271,92 @@ class Tokenizer:
         sys.modules.pop("tokenizers", None)
 
 
+def test_wordpiece_tokenizer_json_shape():
+    """The vendored tokenizer.json builder (r5 VERDICT item 8): valid
+    JSON, WordPiece model with empty continuation prefix and no
+    normalizer/pre-tokenizer (whole-text MaxMatch — the exact scan of
+    greedy_token_count), unk at id 0, every DEMO_VOCAB token present,
+    and the closure premise the parity test relies on holds: every
+    character of every DEMO_VOCAB token that the parity corpus can use
+    has a single-char vocab entry, so the scan can never dead-end."""
+    import json
+
+    from kmertools_spark.functions import wordpiece_tokenizer_json
+    from kmertools_spark.functions.tokenize import DEMO_VOCAB
+
+    cfg = json.loads(wordpiece_tokenizer_json(DEMO_VOCAB))
+    m = cfg["model"]
+    assert m["type"] == "WordPiece"
+    assert m["continuing_subword_prefix"] == ""
+    assert cfg["normalizer"] is None and cfg["pre_tokenizer"] is None
+    assert m["vocab"]["[UNK]"] == 0
+    assert set(DEMO_VOCAB) <= set(m["vocab"])
+    assert len(set(m["vocab"].values())) == len(m["vocab"])
+    closure = {t for t in DEMO_VOCAB if len(t) == 1}
+    assert closure, "parity corpus needs single-char tokens"
+    # ids are contiguous from 0 (some tokenizers builds index by id)
+    assert sorted(m["vocab"].values()) == list(range(len(m["vocab"])))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wordpiece_tokenizer_json([])
+
+
+def test_hf_token_counts_real_tokenizers_parity(spark):
+    """End-to-end through the REAL `tokenizers` package when present
+    (skipped in containers without it): a tokenizer.json built from
+    DEMO_VOCAB must count identically to vocab_token_counts on
+    closure-alphabet texts — same MaxMatch scan, no dead ends."""
+    import random
+
+    import pytest as _pytest
+
+    try:
+        import tokenizers
+    except ImportError:
+        _pytest.skip("tokenizers package not installed")
+    # the seam test above ships a STUB tokenizers.py via addPyFile,
+    # which stays importable on the driver for the session — the real
+    # package is distinguishable by its version attribute
+    if not hasattr(tokenizers, "__version__"):
+        _pytest.skip("only the test stub tokenizers module is importable")
+
+    from kmertools_spark.functions import (
+        greedy_token_count,
+        hf_token_counts,
+        vocab_token_counts,
+        wordpiece_tokenizer_json,
+    )
+    from kmertools_spark.functions.tokenize import DEMO_VOCAB
+
+    tok_json = wordpiece_tokenizer_json(DEMO_VOCAB)
+    closure = sorted(t for t in DEMO_VOCAB if len(t) == 1)
+    rng = random.Random(42)
+    texts = [
+        "".join(rng.choice(closure) for _ in range(rng.randint(0, 200)))
+        for _ in range(50)
+    ]
+
+    # driver-side twin first: Tokenizer.from_str must accept the json
+    from tokenizers import Tokenizer
+
+    tk = Tokenizer.from_str(tok_json)
+    ml = max(len(t) for t in DEMO_VOCAB)
+    for t in texts[:10]:
+        assert len(tk.encode(t, add_special_tokens=False).ids) == greedy_token_count(
+            t, set(DEMO_VOCAB), ml
+        )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_hf = {r.doc_id: r.n_tok for r in hf_token_counts(docs, tok_json).collect()}
+    got_greedy = {
+        r.doc_id: r.n_tok for r in vocab_token_counts(docs, DEMO_VOCAB).collect()
+    }
+    assert got_hf == got_greedy
+
+
 def test_hf_token_counts_requires_package(spark):
     """Clean ImportError (not a worker-side stack bomb) when the
     optional dependency is missing."""
