@@ -28,14 +28,21 @@ $SPARK_GRAFT_BENCH_CORPUS (default <repo>/.bench_corpus) and cached as
 parquet (sources/bench_corpus.py). Set SPARK_GRAFT_BENCH_DOCS=0 to
 fall back to the sf-dir side tables.
 
-Timing protocol (r5 VERDICT item 3): after ONE untimed warm pass over
-every leg (python-worker imports, JIT/codegen settle — the dedup
-banding join needs ~2 executions, so it warms twice), the
-SPARK_GRAFT_BENCH_BEST (default 2) timed reps run INTERLEAVED
+Timing protocol (r5 VERDICT item 3, refined r6): after ONE untimed
+warm pass over every leg (python-worker imports, JIT/codegen settle —
+the dedup banding join needs ~2 executions, so it warms twice), the
+SPARK_GRAFT_BENCH_BEST (default 2) timed visits run INTERLEAVED
 round-robin across legs (A,B,...,A,B,...) rather than back-to-back —
 sequential best-of-N lets one host-load spike eat a whole leg's reps.
-The JSON records per-rep times and per-rep 1-min loadavg per leg, plus
-a max-min spread, so outliers are identifiable post-hoc; `queries`
+Each visit takes TWO back-to-back samples: the first pays the
+cross-leg working-set eviction of the preceding leg (measured: cgr
+4-6s cold vs 1.5-2.4s warm == its isolated cost), the second measures
+the leg warm — so the per-leg min is reproducible against isolated
+runs. A JVM System.gc() runs at every leg boundary (untimed):
+localCheckpoint blocks + Arrow buffers otherwise defer collection
+until it lands MID-LEG (measured: prep first-visit 28s vs 3.3s). The
+JSON records per-sample times and 1-min loadavg per leg, plus a
+max-min spread, so outliers are identifiable post-hoc; `queries`
 still carries the per-leg min. SPARK_GRAFT_SCALING=1 single-run mode
 is used by bench_scaling.py.
 
@@ -240,6 +247,15 @@ def main() -> None:
         ("prep", prep_leg),
     ]
 
+    def jvm_gc():
+        # between-leg hygiene (untimed): the right-sized corpus legs
+        # leave localCheckpoint blocks + Arrow buffers in the 32g old
+        # gen, and without an explicit collection the JVM defers GC
+        # until it lands MID-LEG — measured r6: cgr 5.2s mid-suite vs
+        # 1.6s isolated, prep rep-1 28s vs 3.3s settled. Forcing the
+        # collection at leg boundaries keeps the timed windows clean.
+        spark.sparkContext._jvm.System.gc()
+
     # ONE untimed warm pass over every leg: python workers import
     # numpy + the kernel modules (~2s/core cold — without this the
     # first timed leg measures a per-core import stampede), and
@@ -249,6 +265,7 @@ def main() -> None:
     t0 = time.time()
     for name, fn in legs:
         fn()
+        jvm_gc()
     dedup_leg()
     log(f"warm pass: {time.time() - t0:.1f}s")
 
@@ -261,13 +278,23 @@ def main() -> None:
     loads: dict[str, list[float]] = {n: [] for n, _ in legs}
     for r in range(best):
         for name, fn in legs:
-            la = os.getloadavg()[0]
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            times[name].append(dt)
-            loads[name].append(la)
-            log(f"rep {r + 1}/{best} {name}: {dt:.2f}s (load {la:.2f})")
+            jvm_gc()
+            # two back-to-back samples per visit: the FIRST pays the
+            # cross-leg working-set eviction of whatever ran before it
+            # (measured r6: cgr 4-6s first sample vs 1.5-2.4s second,
+            # matching its isolated-session cost — cache/TLB state, not
+            # plan cost), the SECOND measures the leg warm. Round-robin
+            # across legs still spreads host-load spikes over all legs;
+            # the per-leg min lands on a warm sample and is reproducible
+            # against isolated runs, which sequential best-of-N was not.
+            for _ in range(2):
+                la = os.getloadavg()[0]
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                times[name].append(dt)
+                loads[name].append(la)
+                log(f"rep {r + 1}/{best} {name}: {dt:.2f}s (load {la:.2f})")
 
     timings = {n: min(ts) for n, ts in times.items()}
     total = time.time() - t_all
