@@ -193,6 +193,37 @@ def test_batch_greedy_token_counts_hypothesis():
     check()
 
 
+def test_batch_greedy_token_counts_forced_strategies():
+    """Both count strategies over the jump chain (lane walk / pointer
+    doubling) are exact regardless of which one the cost model would
+    pick — the _force_strategy knob that bench_skew_tokenize.py uses
+    must never change results."""
+    import random
+
+    import numpy as np
+
+    from kmertools_spark.functions import greedy_token_count
+    from kmertools_spark.functions.tokenize import (
+        DEMO_VOCAB,
+        batch_greedy_token_counts,
+    )
+
+    rng = random.Random(11)
+    alphabet = "abcdefghinorst \x00"
+    # mixed shape: many short docs + one long doc (the whale trigger),
+    # plus empties at both ends (lane aliasing edge cases)
+    texts = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(40)
+    ] + ["".join(rng.choice(alphabet) for _ in range(20000)), ""]
+    vl = sorted(DEMO_VOCAB)
+    ml = max(len(t) for t in vl)
+    want = np.array([greedy_token_count(t, set(vl), ml) for t in texts])
+    for strat in ("lanes", "doubling", None):
+        got = batch_greedy_token_counts(texts, vl, ml, _force_strategy=strat)
+        assert np.array_equal(got, want), strat
+
+
 def test_batch_greedy_token_counts_long_tokens():
     """Long tokens force the lazy rank-compression path (pack width
     would exceed 62 bits): still exact vs the python oracle."""
