@@ -246,6 +246,15 @@ def main() -> None:
         ("pack", pack_leg),
         ("prep", prep_leg),
     ]
+    # optional leg filter (comma list) — scaling/adjudication runs that
+    # only need specific legs shouldn't pay the whole suite
+    only = os.environ.get("SPARK_GRAFT_BENCH_LEGS")
+    if only:
+        want = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = want - {n for n, _ in legs}
+        if unknown:
+            raise SystemExit(f"unknown bench legs: {sorted(unknown)}")
+        legs = [(n, f) for n, f in legs if n in want]
 
     def jvm_gc():
         # between-leg hygiene (untimed): the right-sized corpus legs
@@ -266,7 +275,8 @@ def main() -> None:
     for name, fn in legs:
         fn()
         jvm_gc()
-    dedup_leg()
+    if any(n == "dedup" for n, _ in legs):
+        dedup_leg()
     log(f"warm pass: {time.time() - t0:.1f}s")
 
     best = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BEST", "2")))
@@ -312,7 +322,11 @@ def main() -> None:
             "n_docs": n_docs,
             "n_embeddings": n_emb,
             "cpus": cpus,
-            "turns_per_sec": round(n_turns / timings["backfill"], 1),
+            "turns_per_sec": (
+                round(n_turns / timings["backfill"], 1)
+                if "backfill" in timings
+                else None
+            ),
             "total_wall_sec": round(total, 3),
             "best_of": best,
             "interleaved": True,
