@@ -815,12 +815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q37's normalized histogram into q10 (both norm modes, zipped),
     # q27's normalized session vectors into q35 (ditto), q41's capped-LSH
     # flood control into q17 (in_capped flag; capped pairs are a strict
-    # subset of the uncapped banding). The registry now carries exactly
-    # 50 distinct oracle-SQL strings in the first 50 slots; the tail is
-    # purely alternate physical plans of gated oracles (q30<-q10,
-    # q39<-q13, q40<-q15, q44<-q20), so every unique semantic is
-    # driver-gated. Adding query #51+ with a new oracle means folding or
-    # rotating again.
+    # subset of the uncapped banding). Exact accounting (code-review r6,
+    # executed): the first 50 slots carry 48 DISTINCT oracle-SQL strings
+    # — q53_asof_bucketed and q56_asof_auto deliberately share q13's
+    # oracle (same semantics, alternate physical plans, each gated so
+    # the driver exercises all three plans); every unique semantic in
+    # the registry is driver-gated. The tail is purely alternate
+    # physical plans of gated oracles (q30<-q10, q39<-q13, q40<-q15,
+    # q44<-q20). Adding query #51+ with a NEW oracle has two free moves
+    # (rotate q53/q56 into the tail) before folding is needed.
     return {
         "q01_transcripts_identity": q01_transcripts_identity,
         "q02_sessionize": q02_sessionize,

@@ -42,9 +42,11 @@ runs. A JVM System.gc() runs at every leg boundary (untimed):
 localCheckpoint blocks + Arrow buffers otherwise defer collection
 until it lands MID-LEG (measured: prep first-visit 28s vs 3.3s). The
 JSON records per-sample times and 1-min loadavg per leg, plus a
-max-min spread, so outliers are identifiable post-hoc; `queries`
-still carries the per-leg min. SPARK_GRAFT_SCALING=1 single-run mode
-is used by bench_scaling.py.
+max-min spread over the warm samples (plus the cold-warm delta), so
+outliers are identifiable post-hoc; `queries` still carries the
+per-leg min. SPARK_GRAFT_BENCH_BEST=1 gives the single-visit mode
+bench_scaling.py uses; SPARK_GRAFT_BENCH_LEGS=a,b restricts the run
+to the named legs.
 
 All queries force full computation via the noop sink / count; nothing
 is collected to the driver.
@@ -334,8 +336,18 @@ def main() -> None:
             "per_rep_load": {
                 k: [round(x, 2) for x in v] for k, v in loads.items()
             },
+            # spread over WARM samples only (every second of each
+            # cold/warm pair): the cold samples structurally carry the
+            # cross-leg eviction gap, which would trip the ~30%
+            # adjudication rule on every leg every run (code-review r6);
+            # the cold-warm delta is reported separately
             "spread": {
-                k: round(max(v) - min(v), 3) for k, v in times.items()
+                k: round(max(v[1::2]) - min(v[1::2]), 3)
+                for k, v in times.items()
+            },
+            "cold_warm_delta": {
+                k: round(min(v[0::2]) - min(v[1::2]), 3)
+                for k, v in times.items()
             },
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],

@@ -41,6 +41,7 @@ def main() -> None:
     from kmertools_spark.functions.tokenize import (
         DEMO_VOCAB,
         batch_greedy_token_counts,
+        lane_walk_wins,
     )
 
     n_docs = int(os.environ.get("SPARK_GRAFT_TOKSKEW_DOCS", "5000"))
@@ -58,11 +59,14 @@ def main() -> None:
     shapes = {"uniform": small, "whale": small + [whale]}
 
     def model_pick(texts: list[str]) -> str:
+        # the kernel's OWN predicate, with the kernel's own inputs:
+        # mx spans texts AND vocab tokens (the jump chain covers both),
+        # n_codes is the full concatenated length
+        parts = list(texts) + list(vocab)
         ntex = len(texts)
-        mx = max((len(t) for t in texts), default=1)
-        N = sum(len(t) for t in texts) + sum(len(t) for t in vocab)
-        rounds = int(np.ceil(np.log2(max(2, mx + 1))))
-        return "lanes" if mx * (ntex + 4096) < 2 * rounds * (N + 4096) else "doubling"
+        mx = max((len(p) for p in parts), default=1)
+        n_codes = sum(len(p) for p in parts)
+        return "lanes" if lane_walk_wins(ntex, mx, n_codes) else "doubling"
 
     # warm pass: arena buffers + numpy code paths (CLAUDE.md invariant —
     # first-touch page faults would otherwise dominate the first rep)

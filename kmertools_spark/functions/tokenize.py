@@ -123,6 +123,21 @@ class _Arena:
 _ARENA = _Arena()
 
 
+def lane_walk_wins(ntex: int, mx: int, n_codes: int) -> bool:
+    """The measured cost model choosing between the two exact count
+    strategies over the greedy jump chain: lane walk (one ntex-wide
+    gather per token rank — mx+1 rounds worst case) vs pointer
+    doubling (ceil(log2(mx+1)) full n_codes-wide gathers). ``mx`` is
+    the longest PART in the batch (texts AND vocab tokens — the jump
+    chain spans both), ``n_codes`` the total concatenated length. One
+    definition, used by the kernel AND by bench_skew_tokenize.py's
+    model-vs-measured check (code-review r6: the probe previously
+    re-derived it with mx over texts only, so its 'model_correct'
+    verdict could diverge from the kernel's actual pick)."""
+    rounds = int(np.ceil(np.log2(max(2, mx + 1))))
+    return mx * (ntex + 4096) < 2 * rounds * (n_codes + 4096)
+
+
 def batch_greedy_token_counts(
     texts: list[str], vocab_list: list[str], max_len: int,
     _force_strategy: str | None = None,
@@ -300,7 +315,7 @@ def batch_greedy_token_counts(
     #    docs are short relative to the batch (the usual corpus shape).
     #  * pointer doubling: O(N log mx) full-array gathers, immune to a
     #    single whale doc dominating the round count.
-    use_lanes = mx * (ntex + 4096) < 2 * rounds * (N + 4096)
+    use_lanes = lane_walk_wins(ntex, mx, N)
     if _force_strategy is not None:
         use_lanes = _force_strategy == "lanes"
     if use_lanes:
@@ -409,9 +424,12 @@ def wordpiece_tokenizer_json(
     toks = sorted({t for t in vocab if t})
     if not toks:
         raise ValueError("vocab must contain at least one non-empty token")
+    # ids must be contiguous from 0 (some tokenizers builds index the
+    # id->token table by id) — enumerate AFTER dropping a vocab-member
+    # unk_token, or its setdefault would leave a gap (code-review r6)
     ids = {unk_token: 0}
-    for i, t in enumerate(toks, start=1):
-        ids.setdefault(t, i)
+    for i, t in enumerate((t for t in toks if t != unk_token), start=1):
+        ids[t] = i
     return json.dumps(
         {
             "version": "1.0",

@@ -8,8 +8,13 @@ pipeline cannot drift.
 
 Plan shape (guarded by tests/test_plan_shape.py): no Window, no
 single-partition stage, exactly one Exchange — packing's ~24 B/doc
-(id, tok, key) shuffle; every filter is a codegen'd expression
-evaluated in the scan stage.
+(id, tok, key) shuffle. All filters are codegen'd Catalyst
+expressions, but they deliberately evaluate ABOVE the feature
+projection, not in the scan stage: prep_filter's __gate column is a
+pushdown barrier so the (regex-heavy) feature struct computes exactly
+once per row and stays behind the parallelizing exchange — see the
+barrier comment in prep_filter for the measured 43.6s-vs-3s failure
+the old push-everything-to-the-scan shape caused (r6).
 """
 
 from __future__ import annotations

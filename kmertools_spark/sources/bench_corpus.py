@@ -197,6 +197,16 @@ def ensure_bench_corpus(
     files — see _write_parts) with the driver schemas."""
     import pyarrow as pa
 
+    # zero/negative sizes would write an EMPTY parquet dir, stamp _DONE,
+    # and permanently poison the cache ('Unable to infer schema' on
+    # every later read until the dir is hand-deleted, code-review r6);
+    # the documented disable switch is SPARK_GRAFT_BENCH_DOCS=0 in
+    # bench.py, which never reaches this function
+    if n_docs <= 0 or n_emb <= 0:
+        raise ValueError(
+            f"ensure_bench_corpus needs positive sizes, got "
+            f"n_docs={n_docs}, n_emb={n_emb}"
+        )
     out = os.path.join(root, f"docs{n_docs}_emb{n_emb}_s{seed}")
     dp = os.path.join(out, "documents.parquet")
     ep = os.path.join(out, "embeddings.parquet")
