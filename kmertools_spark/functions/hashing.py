@@ -17,33 +17,47 @@ from ..oracle.hashing import N_PERMS, fingerprint_batch, minhash_batch, simhash_
 
 
 def minhash_sig(width: int = 8):
-    """pandas UDF: text -> array<long> MinHash signature (null if no shingle)."""
+    """pandas UDF: text -> array<long> MinHash signature (null if no shingle).
+
+    Marked non-deterministic (it is not — the kernel is a pure function;
+    this is an optimizer fence): every consumer filters on the UDF
+    column (``.where(sig.isNotNull())``), and Catalyst pushes that
+    filter BELOW the projection by re-evaluating the UDF under it — the
+    plan grows a second ArrowEvalPython node and every row pays the
+    shingle/permutation kernel twice (measured: two ArrowEvalPython
+    nodes in the r6 q16/q17 plans). asNondeterministic forbids the
+    duplication, leaving one evaluation per row; results are unchanged
+    (spark_optimization_guide §4.4)."""
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
         return pd.Series(minhash_batch(texts.tolist(), width))
 
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def simhash_value(width: int = 8):
-    """pandas UDF: text -> long SimHash (null if no shingle)."""
+    """pandas UDF: text -> long SimHash (null if no shingle).
+    Non-deterministic marking: same single-evaluation fence as
+    minhash_sig (the consumer filters on the UDF column)."""
 
     @pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
         return pd.Series(simhash_batch(texts.tolist(), width), dtype="Int64")
 
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def doc_fingerprint(width: int = 16):
-    """pandas UDF: text -> long min-window rolling-hash fingerprint."""
+    """pandas UDF: text -> long min-window rolling-hash fingerprint.
+    Non-deterministic marking: same single-evaluation fence as
+    minhash_sig (q23 filters on the fingerprint column)."""
 
     @pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
         return pd.Series(fingerprint_batch(texts.tolist(), width), dtype="Int64")
 
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def band_key_struct(bands: int, r: int, sig_len: int = N_PERMS):

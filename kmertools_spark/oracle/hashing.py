@@ -99,6 +99,36 @@ def fingerprint(text: str, width: int = 16) -> int | None:
     return int(h.min())
 
 
+class _Pool:
+    """Process-level scratch-buffer pool for the batch kernels. On this
+    microVM host a fresh numpy allocation page-faults per page and costs
+    10-100x the arithmetic that follows (the functions/tokenize._Arena
+    measurement); the hashing kernels run once per Arrow batch in a
+    long-lived python worker, so module-level buffers amortize to zero.
+    One worker processes one batch at a time — no aliasing hazard as
+    long as buffers never escape the kernel call (returned arrays are
+    always fresh copies)."""
+
+    def __init__(self) -> None:
+        self._bufs: dict[str, np.ndarray] = {}
+        self._pos: np.ndarray = np.arange(0, dtype=np.int64)
+
+    def get(self, name: str, n: int, dtype) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.size < n or buf.dtype != np.dtype(dtype):
+            buf = np.empty(max(n, 1 << 16), dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:n]
+
+    def positions(self, n: int) -> np.ndarray:
+        if self._pos.size < n:
+            self._pos = np.arange(max(n, 1 << 16), dtype=np.int64)
+        return self._pos[:n]
+
+
+_POOL = _Pool()
+
+
 def batch_shingle_hashes(
     texts: list[str | None], width: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -106,6 +136,8 @@ def batch_shingle_hashes(
 
     One numpy pass over the concatenated bytes of the batch; windows
     spanning two rows are masked out via the separator offset math.
+    All scratch comes from the process-level pool (out=/take — zero
+    steady-state allocations beyond the returned copies).
     """
     bs = [t.encode("utf-8") if t else b"" for t in texts]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
@@ -120,24 +152,46 @@ def batch_shingle_hashes(
     # chunked matmul: a single .astype of the full window view costs
     # width*8 bytes of RAM per input byte (a 10 MB batch at width=16 is
     # a 1.3 GB dense matrix in every python worker — code-review r5);
-    # chunking bounds the dense copy to ~32 MB while keeping the BLAS
+    # chunking bounds the dense copy to ~16 MB (pooled, so it is paid
+    # once per worker, not once per batch) while keeping the BLAS-shaped
     # inner loop
     wview = np.lib.stride_tricks.sliding_window_view(data, width)
     n_win = wview.shape[0]
     pv = pow_vector(width)
-    h = np.empty(n_win, dtype=np.int64)
+    h = _POOL.get("sh_h", n_win, np.int64)
     ch = 1 << 18
+    mm_flat = _POOL.get("sh_mm", min(ch, n_win) * width, np.int64)
     for s in range(0, n_win, ch):
-        h[s : s + ch] = (wview[s : s + ch].astype(np.int64) @ pv) % MOD
-    p = np.arange(h.size, dtype=np.int64)
-    rows = np.searchsorted(starts, p, side="right") - 1
-    ok = (p + width) <= (starts[rows] + lens[rows])
+        m = min(ch, n_win - s)
+        mm = mm_flat[: m * width].reshape(m, width)
+        np.copyto(mm, wview[s : s + m], casting="unsafe")
+        np.matmul(mm, pv, out=h[s : s + m])
+        np.mod(h[s : s + m], MOD, out=h[s : s + m])
+    p = _POOL.positions(n_win)
+    rows = np.searchsorted(starts, p, side="right")
+    rows -= 1
+    # valid window <=> it ends inside its own row: p + width <= row end
+    end = _POOL.get("sh_end", n_win, np.int64)
+    np.take(starts, rows, out=end)
+    t2 = _POOL.get("sh_t2", n_win, np.int64)
+    np.take(lens, rows, out=t2)
+    np.add(end, t2, out=end)
+    end -= width
+    ok = _POOL.get("sh_ok", n_win, np.bool_)
+    np.less_equal(p, end, out=ok)
     return rows[ok], h[ok]
 
 
 def _row_groups(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """rows is sorted; returns (unique_rows, group_start_indices)."""
-    return np.unique(rows, return_index=True)
+    """rows is sorted; returns (unique_rows, group_start_indices).
+    Diff-based (the old np.unique re-SORTED the already-sorted array
+    every batch)."""
+    n = rows.size
+    mask = _POOL.get("rg_mask", n, np.bool_)
+    mask[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=mask[1:])
+    gstart = np.flatnonzero(mask)
+    return rows[gstart], gstart
 
 
 def minhash_batch(texts: list[str | None], width: int = 8) -> list[list[int] | None]:
@@ -148,11 +202,16 @@ def minhash_batch(texts: list[str | None], width: int = 8) -> list[list[int] | N
         return out
     uniq, gstart = _row_groups(rows)
     sigs = np.empty((N_PERMS, uniq.size), dtype=np.int64)
+    tmp = _POOL.get("mh_tmp", h.size, np.int64)
     for i in range(N_PERMS):
-        vals = (PERM_A[i] * h + PERM_B[i]) % MOD
-        sigs[i] = np.minimum.reduceat(vals, gstart)
-    for j, r in enumerate(uniq):
-        out[int(r)] = [int(x) for x in sigs[:, j]]
+        # (a*h + b) % MOD in pooled scratch; a*h < 1e9 * 1e9 < 2^63 exact
+        np.multiply(h, int(PERM_A[i]), out=tmp)
+        tmp += int(PERM_B[i])
+        tmp %= MOD
+        np.minimum.reduceat(tmp, gstart, out=sigs[i])
+    cols = sigs.T.tolist()  # C-speed conversion (no per-element int())
+    for j, r in enumerate(uniq.tolist()):
+        out[r] = cols[j]
     return out
 
 
@@ -166,11 +225,18 @@ def simhash_batch(
         return out
     uniq, gstart = _row_groups(rows)
     vals = np.zeros(uniq.size, dtype=np.int64)
+    tmp = _POOL.get("sim_tmp", h.size, np.int64)
     for b in range(bits):
-        w = np.add.reduceat(((h >> b) & 1) * 2 - 1, gstart)
+        # (+1/-1) per window bit, summed per row — in pooled scratch
+        np.right_shift(h, b, out=tmp)
+        tmp &= 1
+        tmp *= 2
+        tmp -= 1
+        w = np.add.reduceat(tmp, gstart)
         vals |= (w > 0).astype(np.int64) << b
-    for j, r in enumerate(uniq):
-        out[int(r)] = int(vals[j])
+    vlist = vals.tolist()
+    for j, r in enumerate(uniq.tolist()):
+        out[r] = vlist[j]
     return out
 
 
@@ -182,8 +248,9 @@ def fingerprint_batch(texts: list[str | None], width: int = 16) -> list[int | No
         return out
     uniq, gstart = _row_groups(rows)
     mins = np.minimum.reduceat(h, gstart)
-    for j, r in enumerate(uniq):
-        out[int(r)] = int(mins[j])
+    mlist = mins.tolist()
+    for j, r in enumerate(uniq.tolist()):
+        out[r] = mlist[j]
     return out
 
 
