@@ -18,8 +18,12 @@ serializes the whole corpus through one task):
      boundaries, fully deterministic across retries);
   2. one tiny aggregation job returns the P per-partition token sums;
      their exclusive prefix is broadcast back;
-  3. each partition computes its local cumsum + base offset in one
-     applyInPandas pass over (id, tokens) only — the text never moves.
+  3. each partition computes its local cumsum + base offset with a JVM
+     window (sum OVER (PARTITION BY part ORDER BY key) — partitioned by
+     the analytic part id, never a global window) over (id, tokens)
+     only — the text never moves and no Python worker runs (r7: the
+     former applyInPandas kernel did the identical sort+cumsum outside
+     the JVM, paying Arrow transposes + python task startup per task).
 
 The bin explosion afterwards is pure Catalyst (sequence + explode).
 Shuffle traffic: two exchanges of (id, tok, key) triples — ~24 bytes a
@@ -32,22 +36,12 @@ at corpus scale.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.text import token_count
 from ..oracle.hashing import MOD, PACK_A, PACK_B
 from .sampling import affine_hash
-
-_OFF_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("tok", LongType()),
-        StructField("off", LongType()),
-    ]
-)
 
 
 def pack_documents(
@@ -161,27 +155,47 @@ def pack_documents(
         bases[p] = acc
         acc += psums[p]
 
-    def local_offsets(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ord", "doc_id"], kind="mergesort")
-        t = pdf["tok"].to_numpy()
-        off = bases[int(pdf["__part"].iat[0])] + t.cumsum() - t
-        return pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "tok": pdf["tok"], "off": off}
-        )
-
-    # explicit exchange on the grouping key (AQE would coalesce this
+    # explicit exchange on the partitioning key (AQE would coalesce this
     # small-by-bytes shuffle onto one task — see BENCH/BASELINE.md).
     # 4*P physical partitions, not P: Spark hash-routes the P dense
     # part ids balls-in-bins style, and at exactly P bins ~1/e of the
     # pinned tasks would sit empty while others carry 2-3 groups
     # (code-review r5); 4x the bins cuts expected collisions to ~11%
     # and empty partitions cost nothing in this cheap cumsum stage.
-    # groupBy still reuses the exchange (HashPartitioning on __part
-    # satisfies the clustering requirement at any partition count).
-    offs = (
-        keyed.repartition(4 * P, "__part")
-        .groupBy("__part")
-        .applyInPandas(local_offsets, _OFF_SCHEMA)
+    # The window reuses the exchange (HashPartitioning on __part
+    # satisfies its clustering requirement at any partition count).
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__part")
+        .orderBy("__ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = keyed.repartition(4 * P, "__part")
+    if len(bases) <= 4096:
+        # per-partition base offsets as a literal map — a pure projection,
+        # no extra join; P is the task parallelism, so the map stays small
+        args: list = []
+        for part_id, base_off in bases.items():
+            args += [F.lit(int(part_id)), F.lit(int(base_off))]
+        base_col = (
+            F.element_at(F.create_map(*args), F.col("__part"))
+            if args
+            else F.lit(0)
+        )
+    else:  # pragma: no cover - very large explicit n_parts
+        bdf = spark.createDataFrame(
+            [(int(p_), int(b_)) for p_, b_ in bases.items()],
+            "__part int, __base long",
+        )
+        keyed = keyed.join(F.broadcast(bdf), "__part")
+        base_col = F.col("__base")
+    offs = keyed.select(
+        "doc_id",
+        "tok",
+        (base_col + F.sum("tok").over(w) - F.col("tok"))
+        .cast("long")
+        .alias("off"),
     )
 
     cap = int(capacity)

@@ -6,9 +6,10 @@ packing. The gate query (q52) and the deployable job (jobs/prep_job.py)
 both call this function, so the oracle-checked pipeline and the shipped
 pipeline cannot drift.
 
-Plan shape (guarded by tests/test_plan_shape.py): no Window, no
-single-partition stage, exactly one Exchange — packing's ~24 B/doc
-(id, tok, key) shuffle. All filters are codegen'd Catalyst
+Plan shape (guarded by tests/test_plan_shape.py): no single-partition
+stage, exactly one Exchange — packing's ~24 B/doc (id, tok, key)
+shuffle — and the only Window is packing's __part-partitioned JVM
+cumsum (r7; never a global window). All filters are codegen'd Catalyst
 expressions, but they deliberately evaluate ABOVE the feature
 projection, not in the scan stage: prep_filter's __gate column is a
 pushdown barrier so the (regex-heavy) feature struct computes exactly

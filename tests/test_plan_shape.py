@@ -173,9 +173,13 @@ def test_asof_broadcast_plan_is_broadcast(spark, tdf):
 
 def test_packing_has_no_global_window(spark):
     """pack_documents' global token offset is a distributed prefix sum:
-    the plan must contain NO Window operator (a global `sum() OVER
-    (ORDER BY ...)` would be a single-partition sort — the thing the
-    operator exists to avoid) and no single-partition exchange."""
+    the local cumsum is a JVM window PARTITIONED by the analytic part id
+    (r7 — formerly an applyInPandas kernel doing the same sort+cumsum in
+    Python), never a global `sum() OVER (ORDER BY ...)` whose
+    single-partition sort the operator exists to avoid, and no Python
+    stage remains in the plan."""
+    import re
+
     import pandas as pd
 
     from kmertools_spark.operators import pack_documents
@@ -184,8 +188,13 @@ def test_packing_has_no_global_window(spark):
         pd.DataFrame({"doc_id": range(100), "text": ["a b c"] * 100})
     )
     plan = _plan(pack_documents(docs, capacity=16, order="hash"))
-    assert "Window" not in plan
+    # the cumsum window is partitioned by __part (a partition spec is
+    # present), therefore parallel — a global window would show an empty
+    # partition spec and force a SinglePartition exchange
+    assert re.search(r"\[__part#\d+\], \[__ord#\d+L ASC", plan), plan[:2000]
     assert "SinglePartition" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython/BatchEvalPython either
 
 
 def test_stratified_sample_pushes_filter_no_shuffle(spark):
@@ -238,8 +247,10 @@ def test_training_prep_composition_single_exchange(spark):
     import __spark_entry__ as e
 
     plan = _plan(e.q52_training_prep(spark, "/root/testdata/sf0.001"))
-    assert "Window" not in plan
+    # the only Window is packing's __part-partitioned cumsum (r7); a
+    # global window would need a SinglePartition exchange
     assert "SinglePartition" not in plan
+    assert plan.count("Window") <= 1
     assert plan.count("Exchange") == 1
     # the packer pins its input with a localCheckpoint (r3 ADVICE: the
     # filter scan must run ONCE), so the composed plan reads ExistingRDD;
