@@ -107,6 +107,20 @@ def lsh_candidate_pairs(
     distinct downstream anyway (dedup_keep's Jaccard stage) use it so
     the candidate-pair relation — the largest intermediate of a corpus
     dedup — is shuffled for dedup exactly once (r4 VERDICT item 3).
+
+    Physical shape (r7): ONE exchange — groupBy(band, key) collects
+    each bucket's sorted id list and the pair expansion is a codegen'd
+    array expression (flatten/transform over the sorted list, so
+    id_a < id_b by construction). The former self-join formulation
+    shuffled (or broadcast) BOTH banded branches and, under the cap,
+    paid an extra Window exchange for the bucket sizes — this plan
+    reads the signatures once and moves each (id, band, key) row once;
+    the cap becomes a per-bucket size(ids) branch in the same
+    aggregation (measured: 1.9s -> 1.2s uncapped, 1.68s -> 1.18s
+    capped at 100k docs; pair sets identical). A flooded bucket still
+    concentrates its O(size^2) pair fan-out (and now its id array) on
+    one task — the same hot-bucket regime as the join plan — which is
+    exactly what ``max_bucket`` bounds in production.
     """
     from ..functions.hashing import band_key_struct
 
@@ -115,27 +129,39 @@ def lsh_candidate_pairs(
         F.col(id_col), band_key_struct(bands, r).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
 
-    star = None
-    if max_bucket is not None:
-        banded, star = cap_hot_groups(banded, ("band", "key"), id_col, max_bucket)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.key") == F.col("b.key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    g = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
     )
-    if star is not None:
-        pairs = pairs.unionByName(star)
+    if max_bucket is not None:
+        # star edges (bucket min -> member): connectivity-exact, linear
+        # in bucket size; identical to the former cap_hot_groups output
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids) - 1),
+            lambda y: F.struct(F.get(ids, 0).alias("id_a"), y.alias("id_b")),
+        )
+        expr = F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(star)
+    else:
+        expr = all_pairs
+    pairs = (
+        g.select(F.explode(expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        # a duplicate id inside one bucket (duplicate ids in ``sigs``)
+        # sorts adjacent and would pair with itself; the join plan's
+        # strict '<' excluded those
+        .where(F.col("id_a") != F.col("id_b"))
+    )
     return pairs.distinct() if _distinct else pairs
 
 
