@@ -56,60 +56,54 @@ def prep_filter(
     the packing stage needs a batch boundary (global offsets), which is
     why training_prep = prep_filter + pack_documents.
 
-    All four features are computed inside ONE struct bound to the
-    normalized text by a lambda (r4): naming the features as plain
-    projected columns lets predicate pushdown substitute each filter
-    threshold through the projection, re-inlining the 2-regex
-    normalizer into every occurrences() reference — 124 regexp_replace
-    nodes in the optimized plan, 62 normalize scans per row. The
-    struct binding plus Spark's subexpression elimination (repeated
-    references to the identical struct subtree evaluate once per
-    operator) cuts that to 8 nodes — measured 5.7s -> 1.05s on the
-    sf0.1 documents table (regression guard in test_plan_shape).
+    Two stacked projections (r7): the normalizer materializes as a
+    COLUMN (__nn) in the first, and every feature references that
+    attribute in the second. CollapseProject cannot merge them (__nn is
+    a non-cheap expression referenced many times), so the 2-regex
+    normalizer runs exactly once per row — 2 regexp_replace nodes in
+    the optimized plan — and the features evaluate over a plain
+    attribute. The r4-r6 shape bound everything in ONE lambda struct
+    (F.transform(F.array(nn), feats)) for the same single-evaluation
+    guarantee, but that made the ENTIRE feature tree a CodegenFallback
+    island (higher-order functions do not compile); with the attribute
+    formulation only lang_guess's fold and repetition's gram transform
+    remain interpreted islands and the rest of the stage compiles
+    (measured ~2.9s -> ~2.4s at 100k docs, rows identical).
     """
-
-    def _feats(nn):
-        return F.struct(
-            token_count(nn).alias("n_tok"),
-            quality_score(nn).alias("q"),
-            repetition_ratio(nn, 4).alias("rep"),
-            lang_guess(nn).alias("lang"),
-        )
-
-    hof = F.get(
-        F.transform(F.array(normalize_text(F.col(text_col))), _feats), 0
+    nn = F.col("__nn")
+    p1 = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__nn"))
+    feats = p1.select(
+        F.col(id_col),
+        token_count(nn).alias("n_tok"),
+        quality_score(nn).alias("q"),
+        repetition_ratio(nn, 4).alias("rep"),
+        lang_guess(nn).alias("lang"),
+        F.rand(0).alias("__gate"),
     )
     # a threshold of 0 must be a true no-op: repetition_ratio (and
     # quality_score on degenerate inputs) can be NULL, and `NULL >= 0.0`
     # silently drops the row (code-review r5) — so zero thresholds skip
     # the predicate instead of comparing
-    cond = F.col("__f.n_tok") >= min_tokens
+    cond = F.col("n_tok") >= min_tokens
     if min_quality > 0:
-        cond &= F.col("__f.q") >= min_quality
+        cond &= F.col("q") >= min_quality
     if min_rep > 0:
-        cond &= F.col("__f.rep") >= min_rep
+        cond &= F.col("rep") >= min_rep
     # __gate is a predicate-pushdown BARRIER (r6): without it Catalyst
     # splits the threshold conjuncts (and the later stratified-sample
-    # gate) and substitutes each through this projection, re-inlining
-    # the whole feature tree into a scan-stage Filter — the features
-    # then evaluate TWICE per surviving row, and after a single-file
-    # scan + repartition() the entire computation serializes onto the
-    # one pre-exchange task (measured 43.6s vs ~3s at 100k docs). A
+    # gate) and substitutes each through the feature projection — and
+    # then through the normalize projection — re-inlining the whole
+    # feature tree into a scan-stage Filter: the features then evaluate
+    # TWICE per surviving row, and after a single-file scan +
+    # repartition() the entire computation serializes onto the one
+    # pre-exchange task (measured 43.6s vs ~3s at 100k docs). A
     # nondeterministic column in the project list fails Catalyst's
     # fields.forall(_.deterministic) push-through test for EVERY filter
-    # above it, so the struct evaluates exactly once per row; the
+    # above it, so the features evaluate exactly once per row; the
     # always-true __gate conjunct keeps the column referenced (column
     # pruning would otherwise drop it and re-enable the push).
-    kept = (
-        docs.select(F.col(id_col), hof.alias("__f"), F.rand(0).alias("__gate"))
-        .where(cond & (F.col("__gate") >= F.lit(-1.0)))
-        .select(
-            id_col,
-            F.col("__f.n_tok").alias("n_tok"),
-            F.col("__f.q").alias("q"),
-            F.col("__f.rep").alias("rep"),
-            F.col("__f.lang").alias("lang"),
-        )
+    kept = feats.where(cond & (F.col("__gate") >= F.lit(-1.0))).select(
+        id_col, "n_tok", "q", "rep", "lang"
     )
     if rates or default_rate < 1.0:
         kept = stratified_sample(kept, id_col, "lang", rates or {}, default_rate)
