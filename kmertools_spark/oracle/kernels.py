@@ -21,6 +21,13 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from .codec import SEQ_NT4, kmer_pos_maps
+from .hashing import _Pool
+
+# process-level scratch pool (see hashing._Pool: fresh numpy allocations
+# page-fault per page on this host and cost 10-100x the arithmetic).
+# Buffers never escape a kernel call — every returned array is a fresh
+# copy (flatnonzero / fancy-index / astype / bincount outputs).
+_POOL = _Pool()
 
 __all__ = [
     "concat_codes",
@@ -83,12 +90,16 @@ def kmer_windows(
     if n < k:
         e = np.empty(0, np.int64)
         return e, e.astype(dt), e.astype(dt)
-    c = codes.astype(dt)
-    comp = c ^ dt(3)  # complement codes (OOV byte 4 -> 7, filtered below)
+    c = _POOL.get("kw_c", n, dt)
+    np.copyto(c, codes, casting="unsafe")
+    comp = _POOL.get("kw_comp", n, dt)
+    np.bitwise_xor(c, dt(3), out=comp)  # complement (OOV 4 -> 7, filtered below)
     m = n - k + 1
     two = dt(2)
-    f = np.zeros(m, dtype=dt)
-    r = np.zeros(m, dtype=dt)
+    f = _POOL.get("kw_f", m, dt)
+    f.fill(0)
+    r = _POOL.get("kw_r", m, dt)
+    r.fill(0)
     # in-place shift-accumulate: ~4x faster than the allocating form
     for j in range(k):
         np.left_shift(f, two, out=f)
@@ -96,10 +107,15 @@ def kmer_windows(
     for j in range(k - 1, -1, -1):
         np.left_shift(r, two, out=r)
         np.bitwise_or(r, comp[j : j + m], out=r)
-    bad = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(codes >= 4, out=bad[1:])
-    valid = (bad[k:] - bad[:-k]) == 0
-    pos = np.flatnonzero(valid).astype(np.int64)
+    ge = _POOL.get("kw_ge", n, np.bool_)
+    np.greater_equal(codes, 4, out=ge)
+    bad = _POOL.get("kw_bad", n + 1, np.int64)
+    bad[0] = 0
+    np.cumsum(ge, out=bad[1:])
+    # window valid <=> no OOV inside <=> cumsum equal at both ends
+    valid = _POOL.get("kw_valid", m, np.bool_)
+    np.equal(bad[k:], bad[:-k], out=valid)
+    pos = np.flatnonzero(valid)
     return pos, f[pos], r[pos]
 
 
@@ -130,12 +146,20 @@ def composition_matrix(
     nrows = len(texts)
     codes, starts, _lens = concat_codes(texts)
     pos, f, r = kmer_windows(codes, k)
-    rows = np.searchsorted(starts, pos, side="right") - 1
+    rows = np.searchsorted(starts, pos, side="right")
+    rows -= 1
     if canonical:
-        idx = pos_map[np.minimum(f, r).astype(np.int64)]
+        mn = _POOL.get("cm_mn", f.size, f.dtype)
+        np.minimum(f, r, out=mn)
+        idx = _POOL.get("cm_idx", f.size, np.int64)
+        np.take(pos_map, mn, out=idx)
     else:
-        idx = f.astype(np.int64)
-    flat = np.bincount(rows * kcount + idx, minlength=nrows * kcount)
+        idx = _POOL.get("cm_idx", f.size, np.int64)
+        np.copyto(idx, f, casting="unsafe")
+    # bincount key built in place over `rows` (not needed afterwards)
+    np.multiply(rows, kcount, out=rows)
+    np.add(rows, idx, out=rows)
+    flat = np.bincount(rows, minlength=nrows * kcount)
     mat = flat.reshape(nrows, kcount).astype(np.float64)
     if norm:
         totals = mat.sum(axis=1)
