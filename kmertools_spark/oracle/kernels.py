@@ -41,6 +41,7 @@ __all__ = [
     "cgr_batch",
     "whole_record_minimisers",
     "kmer_minimiser_runs",
+    "repetition_batch",
     "MINIMISER_SENTINEL",
 ]
 
@@ -552,6 +553,95 @@ def minimiser_runs_batch(
 # (composition/src/cgr.rs:12-36). Index by the 2-bit code: A=0 C=1 G=2 T=3.
 _CGR_X = np.array([0.0, 0.0, 1.0, 1.0])  # scaled by vecsize
 _CGR_Y = np.array([0.0, 1.0, 1.0, 0.0])
+
+def _round6_half_up(x: float) -> float:
+    """Spark's round(double, 6): scala BigDecimal(d) parses the SHORTEST
+    decimal representation (Double.toString) and rounds HALF_UP — python
+    repr() is the same shortest-roundtrip string, so Decimal(repr(x))
+    reproduces the value Spark rounds, bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def repetition_batch(texts: Sequence[str | None], n: int) -> list[float | None]:
+    """distinct n-grams / total n-grams per row, rounded HALF_UP to 6 dp;
+    None where the row has no full n-gram (total <= 0).
+
+    Exact value twin of the Catalyst formulation in functions/text.py
+    (round(size(array_distinct(transform(sequence(1, len-(n-1)),
+    i -> substring(col, i, n)))) / total, 6)) — the expression's
+    per-element HOF machinery costs ~350 us/row at 300 chars, ~50x this
+    kernel. ASCII rows (the oracle contract corpus) take the vectorized
+    path: n bytes pack EXACTLY into an int64 gram value (no hash, no
+    collisions), one global sort yields per-row distinct counts.
+    Non-ASCII rows (and n outside [1, 6]) fall back to a python
+    set-of-slices twin, which is char-exact for any input.
+    """
+    out: list[float | None] = [None] * len(texts)
+    ascii_idx: list[int] = []
+    bs: list[bytes] = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        if 1 <= n <= 6 and t.isascii():
+            ascii_idx.append(i)
+            bs.append(t.encode())
+        else:
+            total = len(t) - n + 1
+            if total > 0:
+                distinct = len({t[j : j + n] for j in range(total)})
+                out[i] = _round6_half_up(distinct / total)
+    if not ascii_idx:
+        return out
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    joined = b"\x00".join(bs)
+    totals = lens - (n - 1)
+    if len(joined) >= n:
+        starts = np.zeros(len(bs), dtype=np.int64)
+        if len(bs) > 1:
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+        data = np.frombuffer(joined, dtype=np.uint8)
+        wview = np.lib.stride_tricks.sliding_window_view(data, n)
+        n_win = wview.shape[0]
+        # exact base-256 packing (max 2^48 at n=6; a separator byte \x00
+        # inside a window is fine — those windows are masked by offsets)
+        pv = (256 ** np.arange(n - 1, -1, -1)).astype(np.int64)
+        h = _POOL.get("rp_h", n_win, np.int64)
+        ch = 1 << 18
+        mm_flat = _POOL.get("rp_mm", min(ch, n_win) * n, np.int64)
+        for s in range(0, n_win, ch):
+            m = min(ch, n_win - s)
+            mm = mm_flat[: m * n].reshape(m, n)
+            np.copyto(mm, wview[s : s + m], casting="unsafe")
+            np.matmul(mm, pv, out=h[s : s + m])
+        p = _POOL.positions(n_win)
+        rows = np.searchsorted(starts, p, side="right")
+        rows -= 1
+        end = _POOL.get("rp_end", n_win, np.int64)
+        np.take(starts, rows, out=end)
+        t2 = _POOL.get("rp_t2", n_win, np.int64)
+        np.take(lens, rows, out=t2)
+        np.add(end, t2, out=end)
+        end -= n
+        ok = _POOL.get("rp_ok", n_win, np.bool_)
+        np.less_equal(p, end, out=ok)
+        # (row, gram) packed into one int64 key: gram < 256^n <= 2^48,
+        # row < arrow batch size (~2^13-2^15) — the product fits easily
+        keys = rows[ok]
+        K = np.int64(256) ** n
+        np.multiply(keys, K, out=keys)
+        keys += h[ok]
+        uk = np.unique(keys)
+        distinct = np.bincount(uk // K, minlength=len(bs))
+    else:
+        distinct = np.zeros(len(bs), dtype=np.int64)
+    d_list = distinct.tolist()
+    t_list = totals.tolist()
+    for j, i in enumerate(ascii_idx):
+        if t_list[j] > 0:
+            out[i] = _round6_half_up(d_list[j] / t_list[j])
+    return out
+
 
 def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
     """Chaos-game-representation walk: one (x, y) point per character.

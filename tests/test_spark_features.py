@@ -230,6 +230,61 @@ def test_cgr_error_column_surface(spark):
         CgrComputer(vecsize=1.0).vectorise_one("ACXGT")
 
 
+def test_repetition_ratio_kernel_matches_catalyst_expression(spark):
+    """r7: repetition_ratio is the vectorized batch kernel
+    (oracle/kernels.repetition_batch); its values must equal the former
+    transform + array_distinct + size Catalyst expression — the shape
+    the DuckDB oracle twin mirrors relationally — bit-for-bit, across
+    n, NULLs, empty/short rows, NUL separator bytes (the kernel joins
+    rows on \\x00 and must mask, not scan), multi-byte UTF-8 (the
+    python fallback path), and long repeats."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from kmertools_spark.functions import repetition_ratio
+
+    def old_expr(col, n):
+        total = F.length(col) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), total), lambda i: F.substring(col, i, F.lit(n))
+        )
+        return F.when(
+            total > 0,
+            F.round(
+                F.size(F.array_distinct(grams)).cast("double")
+                / total.cast("double"),
+                6,
+            ),
+        )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        length = rng.choice([0, 1, 2, 3, 4, 5, 7, 10, 50, 300])
+        alpha = rng.choice(
+            ["ab", "abc ", string.printable, "aaaa", "ab\x00\t", "αβγ abc"]
+        )
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(length))))
+    rows += [
+        (9001, None),
+        (9002, ""),
+        (9003, "aaaa"),
+        (9004, "ab\x00cd\x00ab"),
+        (9005, "é" * 10),
+        (9006, "abcdefgh" * 500),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    for n in (1, 2, 4, 6, 8):
+        cmp = df.select(
+            repetition_ratio(F.col("text"), n).alias("new"),
+            old_expr(F.col("text"), n).alias("old"),
+        )
+        bad = cmp.where(~F.col("new").eqNullSafe(F.col("old"))).count()
+        assert bad == 0, f"n={n}: {bad} mismatching rows"
+
+
 def test_normalize_text_and_repetition_ratio(spark):
     """Cleaning normalizer + repetition filter on adversarial inputs:
     control chars, tabs/newlines, repeats, short and empty texts —
