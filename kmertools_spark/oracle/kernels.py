@@ -675,26 +675,46 @@ def cgr_trajectory(text: str, vecsize: float = 1.0) -> np.ndarray | None:
 
 def _cgr_dense_group(codes, lens, grp, bmax, vecsize, outs) -> None:
     """Padded across-row recurrence for one length bucket: every row in
-    ``grp`` has bmax/2 < len <= bmax, so padding waste is bounded 2x."""
+    ``grp`` has bmax/2 < len <= bmax, so padding waste is bounded 2x.
+
+    r7 layout: corner/trail matrices are TRANSPOSED to (bmax, g) so the
+    per-position loop touches contiguous rows (the (g, bmax) layout
+    gathered one element per cache line per step — measured 0.14s/batch
+    for the loop + 0.09s for the fancy-index corner allocations; pooled
+    transposed buffers cut both). The per-row FP op order — (corner +
+    m) / 2.0 per position — is UNCHANGED, so the bit-parity contract
+    (q29 hash gate, reference goldens) holds."""
     g = grp.size
-    mat = np.zeros((g, bmax), dtype=np.uint8)
+    mat = _POOL.get("cgr_mat", g * bmax, np.uint8).reshape(g, bmax)
+    mat.fill(0)
     for j, i in enumerate(grp):
         mat[j, : lens[i]] = codes[i]
-    cx = _CGR_X[mat] * vecsize
-    cy = _CGR_Y[mat] * vecsize
-    trail_x = np.empty((g, bmax))
-    trail_y = np.empty((g, bmax))
-    mx = np.full(g, vecsize / 2.0)
-    my = np.full(g, vecsize / 2.0)
+    cxT = _POOL.get("cgr_cx", bmax * g, np.float64).reshape(bmax, g)
+    cyT = _POOL.get("cgr_cy", bmax * g, np.float64).reshape(bmax, g)
+    np.take(_CGR_X, mat.T, out=cxT)
+    np.take(_CGR_Y, mat.T, out=cyT)
+    if vecsize != 1.0:  # x * 1.0 is a bit-exact identity — skip the pass
+        cxT *= vecsize
+        cyT *= vecsize
+    trailT_x = _POOL.get("cgr_tx", bmax * g, np.float64).reshape(bmax, g)
+    trailT_y = _POOL.get("cgr_ty", bmax * g, np.float64).reshape(bmax, g)
+    mx = _POOL.get("cgr_mx", g, np.float64)
+    mx.fill(vecsize / 2.0)
+    my = _POOL.get("cgr_my", g, np.float64)
+    my.fill(vecsize / 2.0)
     for t in range(bmax):
-        mx = (cx[:, t] + mx) / 2.0
-        my = (cy[:, t] + my) / 2.0
-        trail_x[:, t] = mx
-        trail_y[:, t] = my
+        # (corner + m) / 2.0 — identical ops in identical order to the
+        # reference recurrence, in place on contiguous rows
+        np.add(cxT[t], mx, out=mx)
+        np.divide(mx, 2.0, out=mx)
+        np.add(cyT[t], my, out=my)
+        np.divide(my, 2.0, out=my)
+        trailT_x[t] = mx
+        trailT_y[t] = my
     for j, i in enumerate(grp):
         L = lens[i]
-        outs[i][:, 0] = trail_x[j, :L]
-        outs[i][:, 1] = trail_y[j, :L]
+        outs[i][:, 0] = trailT_x[:L, j]
+        outs[i][:, 1] = trailT_y[:L, j]
 
 
 def cgr_batch(texts: Sequence[str | None], vecsize: float = 1.0) -> list[np.ndarray | None]:
