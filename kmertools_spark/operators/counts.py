@@ -75,9 +75,12 @@ def coverage_features(
     the wrong switch (r5 VERDICT item 4): a sparse k=16 corpus
     broadcasts fine while a dense k=12 one is 8.4M rows ≈ 134 MB — 2×
     the default driver result cap. Above the cap the probe's
-    aggregation is paid once before the join path re-computes it —
-    callers that KNOW they are in that regime pass strategy='join'
-    (or persist ``counts``) to skip the probe. The join path needs
+    aggregation is paid once before the join path re-computes it — AND
+    the probe's cap+1 rows (~32 MB of (kmer, cnt) Arrow at the default)
+    transit the driver only to be discarded, the larger hidden cost for
+    tight drivers (r7 ADVICE) — callers that KNOW they are in that
+    regime pass strategy='join' (or persist ``counts``) to skip the
+    probe entirely. The join path needs
     row-identifying ``keys`` (the broadcast path does not) — duplicate
     keys would silently fan out the hist join-back with MIXED
     histograms, so ``validate_keys`` (default on) runs one column-

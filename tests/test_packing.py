@@ -307,9 +307,14 @@ def test_wordpiece_tokenizer_json_shape():
     JSON, WordPiece model with empty continuation prefix and no
     normalizer/pre-tokenizer (whole-text MaxMatch — the exact scan of
     greedy_token_count), unk at id 0, every DEMO_VOCAB token present,
-    and the closure premise the parity test relies on holds: every
-    character of every DEMO_VOCAB token that the parity corpus can use
-    has a single-char vocab entry, so the scan can never dead-end."""
+    and the closure premise the parity test relies on holds: the
+    single-char token set is non-empty, and the parity corpus draws
+    its texts from exactly that set, so every scan position has a
+    single-char fallback and MaxMatch can never dead-end. (NOT every
+    char of every multi-char DEMO_VOCAB token has a fallback — d/f/g/h/r
+    don't — so arbitrary token concatenations COULD dead-end, e.g.
+    't'+'ing' = "ting" -> greedy "ti" then "ng" sticks at 'g'; the
+    parity corpus deliberately avoids that regime — r7 ADVICE.)"""
     import json
 
     from kmertools_spark.functions import wordpiece_tokenizer_json
@@ -325,6 +330,19 @@ def test_wordpiece_tokenizer_json_shape():
     assert len(set(m["vocab"].values())) == len(m["vocab"])
     closure = {t for t in DEMO_VOCAB if len(t) == 1}
     assert closure, "parity corpus needs single-char tokens"
+    # the actual no-dead-end premise (r7 ADVICE): texts built from the
+    # closure chars always have a single-char fallback match — i.e.
+    # every char of every vocab token whose chars ALL lie in the
+    # closure alphabet is itself in closure (trivially true), and the
+    # parity test's corpus generator uses `closure` as its alphabet.
+    # Document the sharp edge instead of overclaiming: chars of
+    # multi-char tokens are NOT all covered, so whole-vocab
+    # concatenations may dead-end (see docstring example).
+    uncovered = {ch for t in DEMO_VOCAB for ch in t} - closure
+    assert uncovered == {"d", "f", "g", "h", "r"}, (
+        "DEMO_VOCAB fallback coverage changed — revisit the parity "
+        f"corpus premise (uncovered now: {sorted(uncovered)})"
+    )
     # ids are contiguous from 0 (some tokenizers builds index by id)
     assert sorted(m["vocab"].values()) == list(range(len(m["vocab"])))
     import pytest as _pytest
