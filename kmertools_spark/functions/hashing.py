@@ -27,7 +27,12 @@ def minhash_sig(width: int = 8):
     shingle/permutation kernel twice (measured: two ArrowEvalPython
     nodes in the r6 q16/q17 plans). asNondeterministic forbids the
     duplication, leaving one evaluation per row; results are unchanged
-    (spark_optimization_guide §4.4)."""
+    (spark_optimization_guide §4.4). Caller contract (r7 code-review):
+    nondeterministic expressions are only legal in Project / Filter /
+    Aggregate / Window operators — using the raw column directly as a
+    groupBy/orderBy/join key fails analysis. Project it into a named
+    column first (every in-repo consumer does), e.g.
+    ``df.withColumn("sig", minhash_sig()(col)).groupBy("sig")``."""
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
@@ -38,8 +43,8 @@ def minhash_sig(width: int = 8):
 
 def simhash_value(width: int = 8):
     """pandas UDF: text -> long SimHash (null if no shingle).
-    Non-deterministic marking: same single-evaluation fence as
-    minhash_sig (the consumer filters on the UDF column)."""
+    Non-deterministic marking: same single-evaluation fence — and the
+    same project-before-grouping caller contract — as minhash_sig."""
 
     @pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
@@ -50,8 +55,9 @@ def simhash_value(width: int = 8):
 
 def doc_fingerprint(width: int = 16):
     """pandas UDF: text -> long min-window rolling-hash fingerprint.
-    Non-deterministic marking: same single-evaluation fence as
-    minhash_sig (q23 filters on the fingerprint column)."""
+    Non-deterministic marking: same single-evaluation fence — and the
+    same project-before-grouping caller contract — as minhash_sig
+    (q23 filters on the fingerprint column)."""
 
     @pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:

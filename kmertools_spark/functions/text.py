@@ -164,7 +164,9 @@ def repetition_ratio(col: Column, n: int = 4) -> Column:
     keeps counting distinct grams relationally. Marked
     non-deterministic as an optimizer fence: consumers filter on the
     column, and the pushed filter would otherwise re-evaluate the UDF
-    (guide §4.4 — same fence as functions/hashing)."""
+    (guide §4.4 — same fence, and same project-before-grouping caller
+    contract, as functions/hashing: the raw column cannot be a
+    groupBy/orderBy/join key)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

@@ -114,13 +114,32 @@ def lsh_candidate_pairs(
     id_a < id_b by construction). The former self-join formulation
     shuffled (or broadcast) BOTH banded branches and, under the cap,
     paid an extra Window exchange for the bucket sizes — this plan
-    reads the signatures once and moves each (id, band, key) row once;
-    the cap becomes a per-bucket size(ids) branch in the same
-    aggregation (measured: 1.9s -> 1.2s uncapped, 1.68s -> 1.18s
-    capped at 100k docs; pair sets identical). A flooded bucket still
-    concentrates its O(size^2) pair fan-out (and now its id array) on
-    one task — the same hot-bucket regime as the join plan — which is
-    exactly what ``max_bucket`` bounds in production.
+    reads the signatures once and moves each (id, band, key) row once
+    (measured: 1.9s -> 1.2s uncapped, 1.68s -> 1.18s capped at 100k
+    docs; pair sets identical).
+
+    Memory (r7 code-review): the uncapped grouped pass materializes
+    each bucket's id list AND its O(size^2) pair array in ONE
+    aggregation row — fine for the gate's pair-exactness contract at
+    bench scale, but a boilerplate-flooded bucket at corpus scale
+    would build a multi-GB array value (the pre-r7 self-join streamed
+    the same pairs with O(1) per-row state). That regime is exactly
+    what production's ``max_bucket`` exists for, so the CAPPED path is
+    built to be flood-safe: one Window pass over (band, key) annotates
+    rows with bucket count + min id (WindowExec buffers spill to
+    disk), over-cap buckets emit their star edges as a streaming
+    projection — no arrays at all — and only under-cap buckets take
+    the grouped array pass, whose per-row memory is then bounded by
+    max_bucket^2. Cost: the two branches are canonically identical up
+    to the exchange, but AQE's stage cache does NOT reuse it here
+    (verified empirically: with AQE off, ReuseExchange fires; with AQE
+    on, both branch stages execute), so the capped path shuffles the
+    banded relation twice where the uncapped gate path shuffles once —
+    measured +0.23 s at 100k docs (0.874 vs 0.647 s, pair sets
+    bit-identical), still well under the pre-r7 join formulation and
+    the price of a hard memory bound in the flood regime. The grouped
+    pass's groupBy adds no third exchange (satisfied by the window's
+    (band, key) hash partitioning).
     """
     from ..functions.hashing import band_key_struct
 
@@ -129,8 +148,33 @@ def lsh_candidate_pairs(
         F.col(id_col), band_key_struct(bands, r).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
 
+    stars = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        # count(id)/min(id) skip NULL ids — same bucket membership as
+        # collect_list below (which also drops NULLs)
+        ann = banded.select(
+            F.col(id_col),
+            F.col("band"),
+            F.col("key"),
+            F.count(F.col(id_col)).over(w).alias("__n"),
+            F.min(F.col(id_col)).over(w).alias("__min"),
+        )
+        # star edges (bucket min -> member): connectivity-exact, linear
+        # in bucket size; identical to the former cap_hot_groups output
+        stars = ann.where(
+            (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min"))
+        ).select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+        grouped_src = ann.where(F.col("__n") <= max_bucket).select(
+            id_col, "band", "key"
+        )
+    else:
+        grouped_src = banded
+
     g = (
-        banded.groupBy("band", "key")
+        grouped_src.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -144,24 +188,16 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    if max_bucket is not None:
-        # star edges (bucket min -> member): connectivity-exact, linear
-        # in bucket size; identical to the former cap_hot_groups output
-        star = F.transform(
-            F.slice(ids, 2, F.size(ids) - 1),
-            lambda y: F.struct(F.get(ids, 0).alias("id_a"), y.alias("id_b")),
-        )
-        expr = F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(star)
-    else:
-        expr = all_pairs
     pairs = (
-        g.select(F.explode(expr).alias("p"))
+        g.select(F.explode(all_pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         # a duplicate id inside one bucket (duplicate ids in ``sigs``)
         # sorts adjacent and would pair with itself; the join plan's
         # strict '<' excluded those
         .where(F.col("id_a") != F.col("id_b"))
     )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
     return pairs.distinct() if _distinct else pairs
 
 

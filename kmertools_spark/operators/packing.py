@@ -172,6 +172,22 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     keyed = keyed.repartition(4 * P, "__part")
+    # a __part value absent from the collected bases (only possible if
+    # the input changed between the offsets pass and this one, e.g. a
+    # nondeterministic source with checkpoint='none') must FAIL, not
+    # resolve to a NULL offset that F.sequence/explode would silently
+    # drop — the old python kernel raised KeyError here (code-review r7)
+    desync = F.raise_error(
+        F.concat(
+            F.lit("pack_documents: partition "),
+            F.col("__part").cast("string"),
+            F.lit(
+                " missing from the base-offset map — input changed "
+                "between passes? (use checkpoint unless the source is "
+                "deterministic)"
+            ),
+        )
+    )
     if len(bases) <= 4096:
         # per-partition base offsets as a literal map — a pure projection,
         # no extra join; P is the task parallelism, so the map stays small
@@ -179,7 +195,7 @@ def pack_documents(
         for part_id, base_off in bases.items():
             args += [F.lit(int(part_id)), F.lit(int(base_off))]
         base_col = (
-            F.element_at(F.create_map(*args), F.col("__part"))
+            F.coalesce(F.element_at(F.create_map(*args), F.col("__part")), desync)
             if args
             else F.lit(0)
         )
@@ -188,8 +204,8 @@ def pack_documents(
             [(int(p_), int(b_)) for p_, b_ in bases.items()],
             "__part int, __base long",
         )
-        keyed = keyed.join(F.broadcast(bdf), "__part")
-        base_col = F.col("__base")
+        keyed = keyed.join(F.broadcast(bdf), "__part", "left")
+        base_col = F.coalesce(F.col("__base"), desync)
     offs = keyed.select(
         "doc_id",
         "tok",

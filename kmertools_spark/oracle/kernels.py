@@ -593,12 +593,26 @@ def repetition_batch(texts: Sequence[str | None], n: int) -> list[float | None]:
                 out[i] = _round6_half_up(distinct / total)
     if not ascii_idx:
         return out
-    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
-    joined = b"\x00".join(bs)
-    totals = lens - (n - 1)
-    if len(joined) >= n:
-        starts = np.zeros(len(bs), dtype=np.int64)
-        if len(bs) > 1:
+    lens_all = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    totals = lens_all - (n - 1)
+    distinct_all = np.zeros(len(bs), dtype=np.int64)
+    # (row, gram) packs into ONE int64 key: gram < 256^n, so the local
+    # row index must stay below (2^63-1) // 256^n — 32767 rows at n=6.
+    # Rows beyond that (oversized Arrow batches via get_spark's
+    # arrow_batch knob) are processed in independent row-chunks; the
+    # default 4096 batch is a single chunk. Without the chunking,
+    # row*K wraps negative at >= 32768 rows and bincount raises
+    # (code-review r7).
+    K = np.int64(256) ** n
+    max_rows = int((2**63 - 1) // int(K))
+    for r0 in range(0, len(bs), max_rows):
+        cb = bs[r0 : r0 + max_rows]
+        lens = lens_all[r0 : r0 + max_rows]
+        joined = b"\x00".join(cb)
+        if len(joined) < n:
+            continue
+        starts = np.zeros(len(cb), dtype=np.int64)
+        if len(cb) > 1:
             np.cumsum(lens[:-1] + 1, out=starts[1:])
         data = np.frombuffer(joined, dtype=np.uint8)
         wview = np.lib.stride_tricks.sliding_window_view(data, n)
@@ -625,17 +639,12 @@ def repetition_batch(texts: Sequence[str | None], n: int) -> list[float | None]:
         end -= n
         ok = _POOL.get("rp_ok", n_win, np.bool_)
         np.less_equal(p, end, out=ok)
-        # (row, gram) packed into one int64 key: gram < 256^n <= 2^48,
-        # row < arrow batch size (~2^13-2^15) — the product fits easily
         keys = rows[ok]
-        K = np.int64(256) ** n
         np.multiply(keys, K, out=keys)
         keys += h[ok]
         uk = np.unique(keys)
-        distinct = np.bincount(uk // K, minlength=len(bs))
-    else:
-        distinct = np.zeros(len(bs), dtype=np.int64)
-    d_list = distinct.tolist()
+        distinct_all[r0 : r0 + len(cb)] = np.bincount(uk // K, minlength=len(cb))
+    d_list = distinct_all.tolist()
     t_list = totals.tolist()
     for j, i in enumerate(ascii_idx):
         if t_list[j] > 0:

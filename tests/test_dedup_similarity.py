@@ -102,6 +102,41 @@ def test_lsh_hot_band_cap_flood(spark):
     assert c1 == c2
 
 
+def test_lsh_cap_exact_star_and_noop_semantics(spark):
+    """Pins the capped path's EXACT output (r7 flood-safe routing —
+    window-annotated stars for over-cap buckets, grouped pass for the
+    rest): identical docs share every band, so a flood of n identical
+    docs under cap < n must yield exactly the star set
+    {(min_id, other)} — nothing more; and a cap >= every bucket size
+    must reproduce the uncapped pair set bit-for-bit."""
+    from kmertools_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    flood_ids = [7, 3, 11, 5, 19, 2, 13]  # unsorted on purpose; min = 2
+    rows = [(i, "exact same flood text body " * 5) for i in flood_ids]
+    rows += [(100 + i, f"distinct doc {i} carrying words {i * 17}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs).cache()
+
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, bands=4, max_bucket=4).collect()
+    }
+    flood = set(flood_ids)
+    star = {(2, i) for i in flood if i != 2}
+    # over-cap buckets contribute exactly the star edges; every other
+    # pair (if any) must also be in the uncapped set
+    assert star <= capped
+    assert not any(a in flood and b in flood and (a, b) not in star for a, b in capped)
+    assert capped - star <= uncapped
+    # cap above every bucket size is a strict no-op
+    noop = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, bands=4, max_bucket=10_000).collect()
+    }
+    assert noop == uncapped
+
+
 def test_jaccard_for_pairs_matches_allpairs(spark):
     """Candidate-driven Jaccard == all-pairs Jaccard restricted to the
     candidate list (the LSH -> verify composition is exact)."""

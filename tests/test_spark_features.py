@@ -285,6 +285,35 @@ def test_repetition_ratio_kernel_matches_catalyst_expression(spark):
         assert bad == 0, f"n={n}: {bad} mismatching rows"
 
 
+def test_repetition_batch_survives_oversized_batches():
+    """r7 code-review: at n=6 the packed (row, gram) int64 key only has
+    headroom for 32767 local rows — a >= 32768-row batch (reachable via
+    get_spark(arrow_batch=...)) used to wrap negative and crash
+    bincount. The kernel now row-chunks; values must stay exact across
+    the chunk boundaries."""
+    import random
+
+    from kmertools_spark.oracle.kernels import _round6_half_up, repetition_batch
+
+    def ref(t, n):
+        tot = len(t) - n + 1
+        if tot <= 0:
+            return None
+        return _round6_half_up(len({t[j : j + n] for j in range(tot)}) / tot)
+
+    rng = random.Random(7)
+    # 40k uniform rows (the review's exact repro) ...
+    texts = ["abcdef" * 3] * 40000
+    assert repetition_batch(texts, 6) == [ref(t, 6) for t in texts]
+    # ... and 70k mixed rows (3 chunks at n=6), ragged lengths
+    texts = [
+        "".join(chr(rng.randrange(1, 128)) for _ in range(rng.randrange(0, 20)))
+        for _ in range(70000)
+    ]
+    for n in (1, 6):
+        assert repetition_batch(texts, n) == [ref(t, n) for t in texts], n
+
+
 def test_normalize_text_and_repetition_ratio(spark):
     """Cleaning normalizer + repetition filter on adversarial inputs:
     control chars, tabs/newlines, repeats, short and empty texts —
